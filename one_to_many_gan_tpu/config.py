@@ -1,0 +1,178 @@
+"""Config system: TOML -> nested typed dict.
+
+Public-API compatible with the reference's config schema
+(reference: src/data/config.py:8-85, config.toml:1-48): the same six
+sections with the same key names load unchanged. A seventh, optional
+``[tpu]`` section adds TPU-native knobs (precision policy, mesh shape,
+EMA / R1 options) with defaults chosen so that omitting the section
+reproduces reference behavior.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from pathlib import Path
+from typing import Any, TypedDict
+
+
+class TrainingConfig(TypedDict):
+    batch_size: int
+    random_seed: int
+    training_steps: int
+    image_buffer_size: int
+    style_mixing_prob: float
+    deterministic_cuda_kernels: bool  # accepted for compat; JAX is deterministic
+    gpu_number: int  # accepted for compat; device selection is via mesh on TPU
+    checkpoint_directory: Path
+    training_run: str
+
+
+class OptimisationConfig(TypedDict):
+    style_cycle_loss_lambda: float
+    identity_loss_lambda: float
+    reconstruction_loss_lambda: float
+    kl_loss_lambda: float
+    path_loss_lambda: float
+    path_loss_jacobian_granularity: tuple[float, float]
+    learning_rate: float
+    mapping_network_learning_rate: float
+    adam_betas: tuple[float, float]
+
+
+class AdaConfig(TypedDict):
+    discriminator_real_acc_target: float
+    ada_overfitting_measurement_n_images: int
+    ada_adjustment_size: float
+
+
+class EvaluationConfig(TypedDict):
+    log_interval: int
+    checkpoint_interval: int
+    n_evaluation_images: int
+    inference_batch_size: int
+
+
+class ArchitectureConfig(TypedDict):
+    w_dim: int
+    add_latent_noise: bool
+    min_latent_resolution: int
+    n_resnet_blocks: int
+    mapping_network_layers: int
+
+
+class DataConfig(TypedDict):
+    image_size: tuple[int, int]  # (height, width)
+    image_channels: int
+    shoeprint_data_dir: Path
+    shoemark_data_dir: Path
+
+
+class TpuConfig(TypedDict):
+    """TPU-native extension section (new capability, not in the reference)."""
+
+    # Compute dtype for conv/matmul activations: "float32" or "bfloat16".
+    precision: str
+    # Device mesh: number of data-parallel and spatial-parallel shards.
+    # data_parallel = -1 means "all available devices".
+    data_parallel: int
+    spatial_parallel: int
+    # Exponential moving average of generator weights (0 disables).
+    ema_decay: float
+    # R1 gradient penalty weight on the discriminator (0 disables) and its
+    # lazy-regularization interval in steps.
+    r1_gamma: float
+    r1_interval: int
+    # Auto-resume from the latest Orbax checkpoint if present.
+    resume: bool
+    # Use the C++ native data loader when available.
+    native_loader: bool
+    # Emit jax.profiler traces to <checkpoint_dir>/<run>/trace at this step
+    # (0 disables).
+    profile_step: int
+
+
+class Config(TypedDict):
+    """Full training/running configuration."""
+
+    training: TrainingConfig
+    optimisation: OptimisationConfig
+    ada: AdaConfig
+    evaluation: EvaluationConfig
+    architecture: ArchitectureConfig
+    data: DataConfig
+    tpu: TpuConfig
+
+
+_TPU_DEFAULTS: TpuConfig = {
+    "precision": "float32",
+    "data_parallel": -1,
+    "spatial_parallel": 1,
+    "ema_decay": 0.0,
+    "r1_gamma": 0.0,
+    "r1_interval": 16,
+    "resume": True,
+    "native_loader": False,
+    "profile_step": 0,
+}
+
+_REQUIRED_SECTIONS = (
+    "training",
+    "optimisation",
+    "ada",
+    "evaluation",
+    "architecture",
+    "data",
+)
+
+
+def _validate(config: dict[str, Any]) -> None:
+    for section in _REQUIRED_SECTIONS:
+        if section not in config:
+            msg = f"config missing required section [{section}]"
+            raise KeyError(msg)
+    gran = config["optimisation"]["path_loss_jacobian_granularity"]
+    if len(gran) != 2 or gran[0] > gran[1]:
+        msg = f"path_loss_jacobian_granularity must be [min, max], got {gran}"
+        raise ValueError(msg)
+    if len(config["data"]["image_size"]) != 2:
+        msg = "data.image_size must be [height, width]"
+        raise ValueError(msg)
+    if config["tpu"]["precision"] not in ("float32", "bfloat16"):
+        msg = f"tpu.precision must be float32|bfloat16, got {config['tpu']['precision']}"
+        raise ValueError(msg)
+
+
+def load_config(path: Path | str) -> Config:
+    """Load a TOML file of hyperparameters into a nested dict.
+
+    Mirrors the reference loader contract (src/data/config.py:71-85):
+    the three directory entries are converted to ``Path``.
+    """
+    path = Path(path)
+    with path.open("rb") as f:
+        config: dict[str, Any] = tomllib.load(f)
+
+    config["training"]["checkpoint_directory"] = Path(
+        config["training"]["checkpoint_directory"]
+    )
+    config["data"]["shoeprint_data_dir"] = Path(config["data"]["shoeprint_data_dir"])
+    config["data"]["shoemark_data_dir"] = Path(config["data"]["shoemark_data_dir"])
+
+    tpu = dict(_TPU_DEFAULTS)
+    tpu.update(config.get("tpu", {}))
+    config["tpu"] = tpu
+
+    _validate(config)
+    return config  # type: ignore[return-value]
+
+
+def n_downsamples(config: Config) -> int:
+    """Encoder/decoder resampling depth.
+
+    ceil(log2(min(image_size) / min_latent_resolution)) — the same
+    constructive rule as the reference generator (src/model/builder.py:153-158).
+    """
+    import math
+
+    min_res = min(config["data"]["image_size"])
+    return math.ceil(math.log2(min_res / config["architecture"]["min_latent_resolution"]))

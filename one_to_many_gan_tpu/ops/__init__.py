@@ -1,0 +1,23 @@
+"""Primitive ops: equalized layers, modulated conv, resampling, norms."""
+
+from one_to_many_gan_tpu.ops.equalized import EqualizedConv, EqualizedLinear
+from one_to_many_gan_tpu.ops.modulated import ModulatedConv
+from one_to_many_gan_tpu.ops.norm import instance_norm, l2_normalize
+from one_to_many_gan_tpu.ops.resample import (
+    bilinear_resize,
+    blur3,
+    downsample2x,
+    upsample2x,
+)
+
+__all__ = [
+    "EqualizedConv",
+    "EqualizedLinear",
+    "ModulatedConv",
+    "bilinear_resize",
+    "blur3",
+    "downsample2x",
+    "instance_norm",
+    "l2_normalize",
+    "upsample2x",
+]

@@ -1,0 +1,101 @@
+"""StyleGAN2 weight-modulated convolution, TPU-native formulation.
+
+Behavioral contract (reference: src/model/layers.py:111-188): per-sample
+style ``s = affine(w)`` scales the conv weights per input channel; the
+scaled weights are demodulated by ``rsqrt(sum(w^2) + eps)`` over
+(in, kh, kw); the reference then materializes a ``[B*O, I, k, k]`` weight
+tensor and runs a grouped conv with ``groups = B``.
+
+That grouped-conv pattern is hostile to the TPU MXU (tiny per-group
+matmuls, B-times weight traffic). Because convolution is linear in the
+weights, the identical math factorizes as:
+
+    y[b, :, :, o] = conv(x[b] * s[b, :], W)[..., o] * d[b, o]
+    d[b, o]       = rsqrt( sum_i s[b,i]^2 * sum_kk W[o,i,kk]^2 + eps )
+
+i.e. scale the *activations* per (batch, in-channel), run ONE ordinary
+batched convolution (large MXU matmuls, weights loaded once), and rescale
+the output per (batch, out-channel). This is StyleGAN2's own
+``fused=False`` identity. The demodulation factor is computed exactly as
+the reference does — including the equalized-LR constant inside the square
+— so results match bit-for-bit up to float reassociation.
+
+Demodulation statistics are kept in float32 even under a bf16 activation
+policy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from one_to_many_gan_tpu.ops.equalized import EqualizedLinear, _pad2d
+
+
+class ModulatedConv(nn.Module):
+    """Style-modulated 3x3 (or kxk) conv, NHWC, batched-MXU formulation.
+
+    ``padding``/``pad_mode`` fold the reference's external ReflectionPad2d
+    into the op (blocks.py:49-58 applies reflect-pad 1 then a valid conv;
+    builder.py:193-195 uses zero padding 1).
+    """
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    pad_mode: str = "zero"
+    demodulate: bool = True
+    use_bias: bool = False
+    eps: float = 1e-8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, w_style: jax.Array) -> jax.Array:
+        """Apply the modulated conv.
+
+        Args:
+            x: images/features, [B, H, W, in_features].
+            w_style: style vectors, [B, w_dim].
+        """
+        k = self.kernel_size
+        in_features = x.shape[-1]
+
+        # Style affine with bias init 1 (zero style vector -> unit scale).
+        s = EqualizedLinear(
+            in_features, bias_init=1.0, dtype=jnp.float32, name="to_style"
+        )(w_style.astype(jnp.float32))  # [B, in]
+
+        weight = self.param(
+            "weight", nn.initializers.normal(1.0), (k, k, in_features, self.features),
+            jnp.float32,
+        )
+        c = 1.0 / math.sqrt(in_features * k * k)
+
+        # Modulate: scale activations per (batch, in-channel).
+        x = x.astype(self.dtype) * s[:, None, None, :].astype(self.dtype)
+        x = _pad2d(x, self.padding, self.pad_mode)
+        y = jax.lax.conv_general_dilated(
+            x,
+            weight.astype(self.dtype) * jnp.asarray(c, self.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+        if self.demodulate:
+            # sum over (kh, kw) of the *equalized* weight squared: [in, out]
+            wsq = jnp.sum(jnp.square(weight * c), axis=(0, 1))
+            # [B, out] = s^2 @ wsq  (exactly sum_{i,kh,kw} (c*W*s)^2)
+            denom = jnp.square(s) @ wsq + self.eps
+            d = jax.lax.rsqrt(denom)  # float32
+            y = y * d[:, None, None, :].astype(self.dtype)
+
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
