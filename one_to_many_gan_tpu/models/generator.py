@@ -1,0 +1,143 @@
+"""Generator: CycleGAN-style encoder/decoder with StyleGAN2-modulated decoder.
+
+Behavioral contract (reference: src/model/builder.py:138-253):
+
+Encoder (style-free):
+  reflect-pad 3 -> eq-conv7x7(C -> 64) -> InstanceNorm -> ReLU
+  n_downsamples x [eq-conv3x3(f -> 2f, zero pad 1) -> IN -> ReLU -> DownSample]
+  (n_resnet_blocks // 2) x ResnetBlock
+where n_downsamples = ceil(log2(min(image_size) / min_latent_resolution))
+(builder.py:153-158).
+
+Decoder (style-routed; one style vector per *style block*):
+  ceil(n_resnet_blocks / 2) x ModulatedResnetBlock
+  n_downsamples x [UpSample -> modulated conv3x3(f -> f/2, zero pad 1) -> ReLU]
+  reflect-pad 3 -> eq-conv7x7(-> C) -> tanh
+
+``n_style_blocks`` = decoder resnet blocks + upsample convs (each
+ModulatedResnetBlock consumes ONE w for both its convs, builder.py:220-230).
+
+``extract`` returns the feature map after each style block (the tap for
+the θ-path-length loss, builder.py:232-249): after each modulated resnet
+block's residual add, and after each upsample-stage modulated conv
+*before* its ReLU; it returns immediately after the last style block.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from one_to_many_gan_tpu.models.blocks import ModulatedResnetBlock, ResnetBlock
+from one_to_many_gan_tpu.ops import (
+    EqualizedConv,
+    ModulatedConv,
+    downsample2x,
+    instance_norm,
+    upsample2x,
+)
+
+
+def generator_arithmetic(
+    image_size: tuple[int, int], min_latent_resolution: int, n_resnet_blocks: int
+) -> tuple[int, int, int, int]:
+    """(n_downsamples, n_encoder_blocks, n_decoder_blocks, n_style_blocks)."""
+    n_down = math.ceil(math.log2(min(image_size) / min_latent_resolution))
+    n_enc = n_resnet_blocks // 2
+    n_dec = math.ceil(n_resnet_blocks / 2)
+    return n_down, n_enc, n_dec, n_dec + n_down
+
+
+class Generator(nn.Module):
+    channels: int
+    w_dim: int
+    image_size: tuple[int, int]
+    min_latent_resolution: int
+    n_resnet_blocks: int
+    start_filters: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def n_style_blocks(self) -> int:
+        return generator_arithmetic(
+            self.image_size, self.min_latent_resolution, self.n_resnet_blocks
+        )[3]
+
+    @property
+    def latent_features(self) -> int:
+        n_down = generator_arithmetic(
+            self.image_size, self.min_latent_resolution, self.n_resnet_blocks
+        )[0]
+        return self.start_filters * (2**n_down)
+
+    def setup(self):
+        n_down, n_enc, n_dec, _ = generator_arithmetic(
+            self.image_size, self.min_latent_resolution, self.n_resnet_blocks
+        )
+        f = self.start_filters
+        self.enc_stem = EqualizedConv(
+            f, 7, padding=3, pad_mode="reflect", dtype=self.dtype
+        )
+        enc_down = []
+        for _ in range(n_down):
+            enc_down.append(EqualizedConv(f * 2, 3, padding=1, dtype=self.dtype))
+            f *= 2
+        self.enc_down = enc_down
+        self.enc_blocks = [ResnetBlock(f, dtype=self.dtype) for _ in range(n_enc)]
+
+        self.dec_blocks = [
+            ModulatedResnetBlock(f, dtype=self.dtype) for _ in range(n_dec)
+        ]
+        dec_up = []
+        for _ in range(n_down):
+            dec_up.append(ModulatedConv(f // 2, 3, padding=1, dtype=self.dtype))
+            f //= 2
+        self.dec_up = dec_up
+        self.out_conv = EqualizedConv(
+            self.channels, 7, padding=3, pad_mode="reflect", dtype=self.dtype
+        )
+
+    def encode(self, x: jax.Array) -> jax.Array:
+        """Image [B,H,W,C] -> latent feature map."""
+        z = jax.nn.relu(instance_norm(self.enc_stem(x.astype(self.dtype))))
+        for conv in self.enc_down:
+            z = jax.nn.relu(instance_norm(conv(z)))
+            z = downsample2x(z)
+        for block in self.enc_blocks:
+            z = block(z)
+        return z
+
+    def decode(self, z: jax.Array, w: jax.Array) -> jax.Array:
+        """Latent + per-block styles w [n_style_blocks, B, w_dim] -> image."""
+        i = 0
+        for block in self.dec_blocks:
+            z = block(z, w[i])
+            i += 1
+        for conv in self.dec_up:
+            z = upsample2x(z)
+            z = jax.nn.relu(conv(z, w[i]))
+            i += 1
+        return jnp.tanh(self.out_conv(z))
+
+    def extract(self, z: jax.Array, w: jax.Array) -> list[jax.Array]:
+        """Feature maps after each style block (path-loss taps)."""
+        features = []
+        i = 0
+        for block in self.dec_blocks:
+            z = block(z, w[i])
+            features.append(z)
+            i += 1
+        for conv in self.dec_up:
+            z = upsample2x(z)
+            z = conv(z, w[i])
+            features.append(z)
+            i += 1
+            if i < len(self.dec_blocks) + len(self.dec_up):
+                z = jax.nn.relu(z)
+        return features
+
+    def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
+        return self.decode(self.encode(x), w)
