@@ -1,0 +1,70 @@
+"""Device-resident image replay buffer (CycleGAN-style).
+
+Behavioral contract (reference: src/core/training.py:22-65 ``ImageBuffer``):
+per image, sequentially over the batch — if the buffer isn't full, append
+and pass the image through; otherwise with probability 0.5 return a
+randomly stored image and replace it with the new one, else pass through.
+
+The reference runs this as host-side Python over detached tensors every
+step. Here the buffer is a fixed-size device array updated inside the
+jitted train step with a ``fori_loop`` over the (small) batch — preserving
+the exact sequential fill/swap semantics with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BufferState(NamedTuple):
+    images: jax.Array  # [size, H, W, C]
+    count: jax.Array  # int32 scalar: slots filled
+
+
+def init_buffer(
+    size: int, image_shape: tuple[int, int, int], dtype=jnp.float32
+) -> BufferState:
+    if size < 1:
+        msg = "buffer size must be >= 1"
+        raise ValueError(msg)
+    return BufferState(
+        images=jnp.zeros((size, *image_shape), dtype=dtype),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def buffer_apply(
+    state: BufferState, fakes: jax.Array, rng: jax.Array
+) -> tuple[jax.Array, BufferState]:
+    """Push a batch of (already stop-gradient'd) fakes; return the batch to
+    train D on plus the updated buffer."""
+    size = state.images.shape[0]
+    batch = fakes.shape[0]
+    k1, k2 = jax.random.split(rng)
+    swap_draws = jax.random.uniform(k1, (batch,))
+    slot_draws = jax.random.randint(k2, (batch,), 0, size)
+
+    def body(i, carry):
+        images, count, out = carry
+        img = jax.lax.dynamic_index_in_dim(fakes, i, 0, keepdims=False)
+        not_full = count < size
+        slot = jax.lax.dynamic_index_in_dim(slot_draws, i, 0, keepdims=False)
+        old = jax.lax.dynamic_index_in_dim(images, slot, 0, keepdims=False)
+        use_swap = jnp.logical_and(jnp.logical_not(not_full), swap_draws[i] > 0.5)
+
+        out_img = jnp.where(use_swap, old, img)
+        write_idx = jnp.where(not_full, count, slot)
+        write_val = jnp.where(jnp.logical_or(not_full, use_swap), img, old)
+
+        images = jax.lax.dynamic_update_index_in_dim(images, write_val, write_idx, 0)
+        out = jax.lax.dynamic_update_index_in_dim(out, out_img, i, 0)
+        count = jnp.where(not_full, count + 1, count)
+        return images, count, out
+
+    images, count, out = jax.lax.fori_loop(
+        0, batch, body, (state.images, state.count, jnp.zeros_like(fakes))
+    )
+    return out, BufferState(images=images, count=count)

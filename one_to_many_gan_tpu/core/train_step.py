@@ -1,0 +1,267 @@
+"""The fused train step: D update + G update + ADA + buffer in ONE XLA program.
+
+The reference runs two sequential optimizer steps per loop iteration with
+host round-trips between them (train.py:204-251 calling
+training.py:71-128 then :136-257). Here both updates — plus the ADA
+controller and the replay buffer — compile into a single jitted function
+per step, preserving the reference's ordering semantics exactly:
+
+- the augmentation probability used by BOTH sub-steps of iteration t is
+  the controller value entering the iteration (train.py:206);
+- the D update sees fakes from the CURRENT generator through the replay
+  buffer (training.py:91-108); ``stop_gradient`` replaces ``.detach()``;
+- the G update sees the UPDATED discriminator (train.py:210-244 ordering);
+- the G update consumes FRESH data batches (training.py:155-156);
+- the generator/mapping/style-extractor gradients come from one joint
+  backward over the six-term loss (training.py:236-248).
+
+RNG is an explicit key; every stochastic site (style z's, mixing draws,
+buffer swaps, ADA transforms, θ and h) draws from named splits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from one_to_many_gan_tpu import losses
+from one_to_many_gan_tpu.augment import augment, make_ada_update
+from one_to_many_gan_tpu.config import Config
+from one_to_many_gan_tpu.core.buffer import buffer_apply
+from one_to_many_gan_tpu.core.state import Models, TrainState, make_optimizers
+from one_to_many_gan_tpu.models import apply_domain, sample_style_rngs
+
+
+class Batches(NamedTuple):
+    """The four data batches one fused step consumes (NHWC, [-1,1] float32)."""
+
+    d_shoeprints: jax.Array
+    d_shoemarks: jax.Array
+    g_shoeprints: jax.Array
+    g_shoemarks: jax.Array
+
+
+def make_train_step(config: Config, models: Models):
+    """Build the pure (state, batches, rng) -> (state, metrics) step."""
+    opt_cfg = config["optimisation"]
+    ada_cfg = config["ada"]
+    train_cfg = config["training"]
+    arch_cfg = config["architecture"]
+    tpu_cfg = config["tpu"]
+
+    opts = make_optimizers(config)
+    ada_update = make_ada_update(
+        ada_cfg["ada_overfitting_measurement_n_images"],
+        ada_cfg["ada_adjustment_size"],
+        train_cfg["batch_size"],
+        ada_cfg["discriminator_real_acc_target"],
+    )
+    mixing_prob = train_cfg["style_mixing_prob"]
+    n_blocks = models.n_style_blocks
+    w_dim = models.w_dim
+    gran_lo, gran_hi = opt_cfg["path_loss_jacobian_granularity"]
+    add_latent_noise = arch_cfg["add_latent_noise"]
+    ema_decay = tpu_cfg["ema_decay"]
+    r1_gamma = tpu_cfg["r1_gamma"]
+    r1_interval = tpu_cfg["r1_interval"]
+
+    gen, disc, mapping, extractor = (
+        models.generator,
+        models.discriminator,
+        models.mapping,
+        models.extractor,
+    )
+
+    def sample_w(params_m, rng, batch, domain, *, mix=True):
+        rngs = sample_style_rngs(rng, batch, w_dim, n_blocks, mixing_prob)
+        s = mapping.apply(params_m, rngs, n_blocks, mix_styles=mix,
+                          method="style_vector")
+        return apply_domain(s, domain)
+
+    def train_step(
+        state: TrainState, batches: Batches, rng: jax.Array
+    ) -> tuple[TrainState, dict[str, jax.Array]]:
+        batch = batches.d_shoeprints.shape[0]
+        keys = jax.random.split(rng, 10)
+        p_used = state.ada.p
+
+        # ---------------------------------------------------- D update
+        w_d = sample_w(state.params_m, keys[0], batch, 1.0)
+        fakes = gen.apply(state.params_g, batches.d_shoeprints, w_d)
+        fakes = jax.lax.stop_gradient(fakes.astype(jnp.float32))
+        buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1])
+        aug_fake = augment(buffered, p_used, keys[2])
+        aug_real = augment(batches.d_shoemarks, p_used, keys[3])
+
+        def d_loss_fn(params_d):
+            fake_scores = disc.apply(params_d, aug_fake).astype(jnp.float32)
+            real_scores = disc.apply(params_d, aug_real).astype(jnp.float32)
+            loss = losses.lsgan_d_loss(real_scores, fake_scores)
+            if r1_gamma > 0:
+                penalty = losses.r1_penalty(disc.apply, params_d, aug_real)
+                apply_r1 = (state.step % r1_interval) == 0
+                loss = loss + jnp.where(apply_r1, (r1_gamma / 2.0) * penalty, 0.0)
+            return loss, (real_scores, fake_scores)
+
+        (d_loss, (real_scores, fake_scores)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.params_d)
+        d_updates, opt_d = opts["d"].update(d_grads, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, d_updates)
+
+        sign_real = losses.discriminator_confidence(real_scores)
+        sign_fake = -losses.discriminator_confidence(fake_scores)
+        ada_state = ada_update(state.ada, sign_real)
+
+        # ---------------------------------------------------- G update
+        theta = jax.random.uniform(keys[4], (batch,))
+        fin_diff_h = jax.random.uniform(
+            keys[5], (batch,), minval=gran_lo, maxval=gran_hi
+        )
+        d1 = jnp.clip(theta + fin_diff_h / 2.0, 0.0, 1.0)
+        d2 = jnp.clip(theta - fin_diff_h / 2.0, 0.0, 1.0)
+
+        def g_loss_fn(params_g, params_m, params_s):
+            combined = jnp.concatenate(
+                [batches.g_shoeprints, batches.g_shoemarks], axis=0
+            )
+            latents = gen.apply(params_g, combined, method="encode")
+            kl = losses.kl_loss(latents)
+            if add_latent_noise:
+                latents = latents + jax.random.normal(
+                    keys[6], latents.shape, latents.dtype
+                )
+            print_latent, mark_latent = jnp.split(latents, 2, axis=0)
+
+            # Reconstruction: θ=0 -> zero style for every block.
+            w0 = jnp.zeros((n_blocks, batch, w_dim), jnp.float32)
+            recon = gen.apply(params_g, print_latent, w0, method="decode")
+            rec_loss = losses.l1_loss(
+                recon.astype(jnp.float32), batches.g_shoeprints
+            )
+
+            # Identity: decode shoemark latent with its own extracted style.
+            mark_w = extractor.apply(params_s, batches.g_shoemarks)
+            mark_w_stack = jnp.broadcast_to(mark_w[None], (n_blocks, *mark_w.shape))
+            idt = gen.apply(params_g, mark_latent, mark_w_stack, method="decode")
+            idt_loss = losses.l1_loss(
+                idt.astype(jnp.float32), batches.g_shoemarks
+            )
+
+            # GAN: translate θ=1, augment, score with the UPDATED D.
+            w_t = sample_w(params_m, keys[7], batch, 1.0)
+            generated = gen.apply(params_g, print_latent, w_t, method="decode")
+            aug_gen = augment(generated.astype(jnp.float32), p_used, keys[8])
+            gen_scores = disc.apply(params_d, aug_gen).astype(jnp.float32)
+            gan = losses.lsgan_g_loss(gen_scores)
+
+            # Style cycle: re-extract the style from the fakes.
+            rec_w = extractor.apply(params_s, generated)
+            style = losses.style_cycle_loss(w_t[-1], rec_w)
+
+            # θ-path length: finite difference through the decoder taps.
+            w_path = sample_w(params_m, keys[9], batch, 1.0)
+            w1 = apply_domain(w_path, d1)
+            w2 = apply_domain(w_path, d2)
+            f1 = gen.apply(params_g, print_latent, w1, method="extract")
+            f2 = gen.apply(params_g, print_latent, w2, method="extract")
+            path = losses.path_loss(f1, f2, fin_diff_h)
+
+            total = (
+                gan
+                + opt_cfg["identity_loss_lambda"] * idt_loss
+                + opt_cfg["reconstruction_loss_lambda"] * rec_loss
+                + opt_cfg["kl_loss_lambda"] * kl
+                + opt_cfg["path_loss_lambda"] * path
+                + opt_cfg["style_cycle_loss_lambda"] * style
+            )
+            aux = {
+                "gan_loss": gan,
+                "reconstruction_loss": rec_loss,
+                "identity_loss": idt_loss,
+                "kl_loss": kl,
+                "path_loss": path,
+                "style_loss": style,
+            }
+            return total, aux
+
+        (total_g, aux), (g_grads, m_grads, s_grads) = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params_g, state.params_m, state.params_s)
+
+        g_updates, opt_g = opts["g"].update(g_grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, g_updates)
+        m_updates, opt_m = opts["m"].update(m_grads, state.opt_m, state.params_m)
+        params_m = optax.apply_updates(state.params_m, m_updates)
+        s_updates, opt_s = opts["s"].update(s_grads, state.opt_s, state.params_s)
+        params_s = optax.apply_updates(state.params_s, s_updates)
+
+        ema_params_g = state.ema_params_g
+        if ema_params_g is not None:
+            ema_params_g = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema_params_g,
+                params_g,
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            params_m=params_m,
+            params_s=params_s,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            opt_m=opt_m,
+            opt_s=opt_s,
+            ada=ada_state,
+            buffer=buffer_state,
+            ema_params_g=ema_params_g,
+        )
+        metrics = {
+            "disc_loss": d_loss,
+            "disc_real_acc": sign_real,
+            "disc_fake_acc": sign_fake,
+            "total_gen_loss": total_g,
+            "ada_p": p_used,
+            **aux,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_inference_fns(config: Config, models: Models):
+    """Pure inference entry points (translation + 1->N sweep).
+
+    The 1->N sweep batches one encoded source against N styles in a single
+    XLA call — the reference hints at this with its ``.expand(8, ...)``
+    decode (evaluation.py:171-177).
+    """
+    gen, mapping = models.generator, models.mapping
+    n_blocks = models.n_style_blocks
+    w_dim = models.w_dim
+    mixing_prob = config["training"]["style_mixing_prob"]
+
+    def translate(params_g, params_m, images, rng, *, domain=1.0, mix=False):
+        batch = images.shape[0]
+        rngs = sample_style_rngs(rng, batch, w_dim, n_blocks, mixing_prob)
+        s = mapping.apply(params_m, rngs, n_blocks, mix_styles=mix,
+                          method="style_vector")
+        w = apply_domain(s, domain)
+        return gen.apply(params_g, images, w)
+
+    def one_to_many(params_g, params_m, image, rng, n_styles: int):
+        """One source image [H,W,C] -> [n_styles, H, W, C] translations."""
+        latent = gen.apply(params_g, image[None], method="encode")
+        latent_n = jnp.broadcast_to(latent, (n_styles, *latent.shape[1:]))
+        rngs = sample_style_rngs(rng, n_styles, w_dim, n_blocks, mixing_prob)
+        s = mapping.apply(params_m, rngs, n_blocks, mix_styles=False,
+                          method="style_vector")
+        w = apply_domain(s, 1.0)
+        return gen.apply(params_g, latent_n, w, method="decode")
+
+    return translate, one_to_many

@@ -1,0 +1,93 @@
+"""Batch pipeline: infinite, shuffled, per-host-sharded iterators.
+
+Replaces the reference's three ``DataLoader``s wrapped in
+``itertools.cycle`` (train.py:131-169): epoch-permutation shuffling with
+``drop_last``, per-item random horizontal flip (p=0.5), and [-1, 1]
+normalization.
+
+TPU-native notes: datasets are held as uint8; a batch is gathered,
+flipped, and normalized in one vectorized numpy pass (microseconds at the
+reference's batch sizes), so the host never bottlenecks the device. In a
+multi-host (DCN) deployment each process constructs the iterator with its
+``process_index``/``process_count`` so every host draws a disjoint shard of
+each epoch (SURVEY.md §5, per-host input sharding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalize_u8(batch_u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1, 1] (ToTensor + Normalize((0.5,),(0.5,)))."""
+    return batch_u8.astype(np.float32) / 127.5 - 1.0
+
+
+class BatchIterator:
+    """Infinite iterator over a uint8 image array.
+
+    Args:
+        images: [N, H, W, C] uint8.
+        batch_size: per-host batch size.
+        shuffle: epoch-permutation shuffling (training) or sequential (val).
+        flip_prob: per-sample horizontal flip probability.
+        seed: RNG seed (deterministic stream).
+        host_id/host_count: this process's shard of each epoch.
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        flip_prob: float = 0.5,
+        seed: int = 0,
+        host_id: int = 0,
+        host_count: int = 1,
+    ):
+        if images.ndim != 4:
+            msg = f"expected [N,H,W,C], got {images.shape}"
+            raise ValueError(msg)
+        self.images = images
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.flip_prob = flip_prob
+        self.host_id = host_id
+        self.host_count = host_count
+        self._rng = np.random.default_rng(seed + host_id)
+        self._queue: list[np.ndarray] = []
+        n_local = len(self._epoch_order())
+        if n_local < batch_size:
+            msg = (
+                f"dataset shard has {n_local} images < batch size {batch_size} "
+                "(drop_last would yield nothing)"
+            )
+            raise ValueError(msg)
+
+    def _epoch_order(self) -> np.ndarray:
+        n = self.images.shape[0]
+        order = (
+            self._rng.permutation(n) if self.shuffle else np.arange(n)
+        )
+        return order[self.host_id :: self.host_count]
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if not self._queue:
+            order = self._epoch_order()
+            n_batches = len(order) // self.batch_size  # drop_last
+            for b in range(n_batches):
+                self._queue.append(
+                    order[b * self.batch_size : (b + 1) * self.batch_size]
+                )
+        idx = self._queue.pop(0)
+        batch = self.images[idx]  # gather, uint8
+        if self.flip_prob > 0:
+            flips = self._rng.random(len(idx)) < self.flip_prob
+            if flips.any():
+                batch = batch.copy()
+                batch[flips] = batch[flips, :, ::-1]
+        return normalize_u8(batch)

@@ -1,0 +1,139 @@
+"""Fused train-step tests: finite losses, state evolution, jit, inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from one_to_many_gan_tpu.config import load_config
+from one_to_many_gan_tpu.core.state import Models, init_train_state, param_count
+from one_to_many_gan_tpu.core.train_step import (
+    Batches,
+    make_inference_fns,
+    make_train_step,
+)
+from tests.helpers import write_tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ts")
+    config = load_config(write_tiny_config(tmp))
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    step = jax.jit(make_train_step(config, models))
+    return config, models, state, step
+
+
+def _batches(config, seed=0):
+    rng = np.random.default_rng(seed)
+    h, w = config["data"]["image_size"]
+    c = config["data"]["image_channels"]
+    b = config["training"]["batch_size"]
+
+    def mk():
+        return jnp.asarray(
+            (rng.random((b, h, w, c)) * 2 - 1).astype(np.float32)
+        )
+
+    return Batches(mk(), mk(), mk(), mk())
+
+
+def test_step_runs_and_metrics_finite(setup):
+    config, models, state, step = setup
+    new_state, metrics = step(state, _batches(config), jax.random.key(1))
+    for name, value in metrics.items():
+        assert np.isfinite(float(value)), f"{name} not finite"
+    assert int(new_state.step) == 1
+    assert int(new_state.ada.count) == 1
+
+
+def test_all_four_networks_update(setup):
+    config, models, state, step = setup
+    new_state, _ = step(state, _batches(config), jax.random.key(1))
+
+    def changed(a, b):
+        return any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b), strict=True)
+        )
+
+    assert changed(state.params_g, new_state.params_g)
+    assert changed(state.params_d, new_state.params_d)
+    assert changed(state.params_m, new_state.params_m)
+    assert changed(state.params_s, new_state.params_s)
+
+
+def test_multi_step_losses_stay_finite(setup):
+    config, models, state, step = setup
+    for i in range(4):
+        state, metrics = step(state, _batches(config, seed=i), jax.random.key(i))
+    assert int(state.step) == 4
+    assert int(state.buffer.count) == 4  # buffer size 4 filled by 4 steps of b=2
+    for name, value in metrics.items():
+        assert np.isfinite(float(value)), f"{name} not finite after 4 steps"
+
+
+def test_step_deterministic(setup):
+    config, models, state, step = setup
+    b = _batches(config)
+    s1, m1 = step(state, b, jax.random.key(9))
+    s2, m2 = step(state, b, jax.random.key(9))
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]))
+    l1 = jax.tree.leaves(s1.params_g)
+    l2 = jax.tree.leaves(s2.params_g)
+    for a, b_ in zip(l1, l2, strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_param_counts_nontrivial(setup):
+    _, models, state, _ = setup
+    assert param_count(state.params_g) > 1_000_000
+    assert param_count(state.params_d) > 1_000_000
+    assert param_count(state.params_m) < 10_000  # tiny MLP (w_dim=6)
+
+
+def test_inference_translate_and_one_to_many(setup):
+    config, models, state, _ = setup
+    translate, one_to_many = make_inference_fns(config, models)
+    h, w = config["data"]["image_size"]
+    img = jax.random.normal(jax.random.key(7), (2, h, w, 1))
+    out = translate(state.params_g, state.params_m, img, jax.random.key(0))
+    assert out.shape == img.shape
+
+    sweep = jax.jit(one_to_many, static_argnums=4)(
+        state.params_g, state.params_m, img[0], jax.random.key(1), 8
+    )
+    assert sweep.shape == (8, h, w, 1)
+    # different styles must give different outputs (one-to-MANY)
+    diffs = [
+        float(jnp.abs(sweep[i] - sweep[0]).mean()) for i in range(1, 8)
+    ]
+    assert max(diffs) > 1e-5
+
+
+def test_reconstruction_theta0_path(setup):
+    """θ=0 decode must be style-free: zero w's give identical outputs for
+    any style RNG (the reconstruction contract, builder.py:87-90)."""
+    config, models, state, _ = setup
+    translate, _ = make_inference_fns(config, models)
+    h, w = config["data"]["image_size"]
+    img = jax.random.normal(jax.random.key(3), (2, h, w, 1))
+    r1 = translate(state.params_g, state.params_m, img, jax.random.key(10), domain=0.0)
+    r2 = translate(state.params_g, state.params_m, img, jax.random.key(20), domain=0.0)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+
+def test_ema_updates_when_enabled(tmp_path):
+    config = load_config(
+        write_tiny_config(tmp_path, tpu_section="\n[tpu]\nema_decay = 0.99\n")
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    assert state.ema_params_g is not None
+    step = jax.jit(make_train_step(config, models))
+    new_state, _ = step(state, _batches(config), jax.random.key(1))
+    a = jax.tree.leaves(new_state.ema_params_g)[0]
+    b = jax.tree.leaves(state.ema_params_g)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
