@@ -1,0 +1,99 @@
+"""End-to-end integration tests: config -> Trainer -> logs/checkpoints/resume."""
+
+import re
+
+import jax
+import numpy as np
+import pytest
+
+from one_to_many_gan_tpu.config import load_config
+from one_to_many_gan_tpu.core.trainer import (
+    Trainer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from one_to_many_gan_tpu.data import synthetic_images
+from tests.helpers import write_tiny_config
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    config = load_config(write_tiny_config(tmp))
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config,
+        shoeprint_images=prints,
+        shoemark_images=marks,
+        verbose=False,
+    )
+    state = trainer.run()
+    return config, trainer, state, tmp
+
+
+def test_runs_all_steps(run):
+    config, trainer, state, _ = run
+    assert int(state.step) == config["training"]["training_steps"]
+
+
+def test_log_file_format(run):
+    config, _, _, _ = run
+    log = (
+        config["training"]["checkpoint_directory"]
+        / config["training"]["training_run"]
+        / "log"
+    ).read_text()
+    lines = [ln for ln in log.splitlines() if ln.startswith("Step:")]
+    assert len(lines) == 3  # 6 steps, log_interval 2
+    pat = (
+        r"Step: \d+/\d+, D loss: [-\d.e+]+, D real/fake acc: [-\d.e+]+/[-\d.e+]+, "
+        r"Total G loss: [-\d.e+]+, Gan loss [-\d.e+]+, Idt loss [-\d.e+]+, "
+        r"Rec loss [-\d.e+]+, KL loss [-\d.e+]+, Path loss [-\d.e+]+, "
+        r"Style loss: [-\d.e+]+, ADA: [-\d.e+]+, "
+    )
+    assert re.fullmatch(pat, lines[0]), lines[0]
+    fid_lines = [ln for ln in log.splitlines() if ln.startswith("Step ")]
+    assert any("fid:" in ln and "kid:" in ln for ln in fid_lines)
+
+
+def test_image_and_val_artifacts(run):
+    config, _, _, _ = run
+    run_dir = (
+        config["training"]["checkpoint_directory"]
+        / config["training"]["training_run"]
+    )
+    assert (run_dir / "images" / "translation_3.png").exists()
+    assert (run_dir / "images" / "decoding_3.png").exists()
+    assert (run_dir / "images" / "translation_6.png").exists()
+    pngs = list((run_dir / "val").glob("*.png"))
+    assert len(pngs) == config["evaluation"]["n_evaluation_images"]
+
+
+def test_checkpoint_roundtrip_bitwise(run):
+    config, trainer, state, _ = run
+    restored, start = restore_checkpoint(trainer.ckpt_mgr, jax.tree.map(
+        lambda x: x, state
+    ))
+    assert start == config["training"]["training_steps"]
+    for a, b in zip(
+        jax.tree.leaves(state), jax.tree.leaves(restored), strict=True
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_not_restarts(run):
+    """A fresh Trainer on the same run dir must resume at the latest step."""
+    config, _, state, _ = run
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer2 = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    assert trainer2.start_step == config["training"]["training_steps"]
+    for a, b in zip(
+        jax.tree.leaves(state.params_g),
+        jax.tree.leaves(trainer2.state.params_g),
+        strict=True,
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
