@@ -36,11 +36,11 @@ def main() -> None:
     import jax
     import numpy as np
 
-    from __graft_entry__ import _tiny_config
+    from one_to_many_gan_tpu.presets import tiny_config
     from one_to_many_gan_tpu.core.state import Models, init_train_state
     from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
 
-    config = _tiny_config((IMAGE_SIZE, IMAGE_SIZE), BATCH, min_latent=64)
+    config = tiny_config((IMAGE_SIZE, IMAGE_SIZE), BATCH, min_latent=64)
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
     step = jax.jit(make_train_step(config, models), donate_argnums=0)

@@ -110,12 +110,14 @@ class Trainer:
         # Data.
         image_size = tuple(config["data"]["image_size"])
         channels = config["data"]["image_channels"]
+        native = config["tpu"]["native_loader"]
         if shoeprint_images is None:
             shoeprint_images = ShoeDataset(
                 config["data"]["shoeprint_data_dir"],
                 mode="train",
                 image_size=image_size,
                 channels=channels,
+                native=native,
             ).images
         if shoemark_images is None:
             shoemark_images = ShoeDataset(
@@ -123,6 +125,7 @@ class Trainer:
                 mode="train",
                 image_size=image_size,
                 channels=channels,
+                native=native,
             ).images
         self.shoemark_images = shoemark_images
 
@@ -139,6 +142,7 @@ class Trainer:
                 seed=seed + offset,
                 host_id=host_id,
                 host_count=host_count,
+                native=native,
             )
 
         # Independent streams for the D and G sub-steps (the reference pulls

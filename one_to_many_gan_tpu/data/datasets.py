@@ -57,14 +57,20 @@ class ShoeDataset:
         mode: str,
         image_size: tuple[int, int],
         channels: int,
+        native: bool = False,
     ):
         root = Path(path).expanduser() / mode
         files = sorted(root.rglob("*.jpg")) + sorted(root.rglob("*.png"))
         if not files:
             raise FileNotFoundError(f"no images under {root}")
-        self.images = np.stack(
-            [_load_image(f, image_size, channels) for f in files]
-        )  # [N, H, W, C] uint8
+        if native:
+            from one_to_many_gan_tpu import runtime
+
+            self.images = runtime.load_images(files, image_size, channels)
+        else:
+            self.images = np.stack(
+                [_load_image(f, image_size, channels) for f in files]
+            )  # [N, H, W, C] uint8
         self.files = files
 
     def __len__(self) -> int:

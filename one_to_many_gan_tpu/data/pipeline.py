@@ -45,10 +45,17 @@ class BatchIterator:
         seed: int = 0,
         host_id: int = 0,
         host_count: int = 1,
+        native: bool = False,
     ):
         if images.ndim != 4:
             msg = f"expected [N,H,W,C], got {images.shape}"
             raise ValueError(msg)
+        self.native = native
+        if native:
+            from one_to_many_gan_tpu import runtime
+
+            if not runtime.available():
+                self.native = False
         self.images = images
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -84,10 +91,17 @@ class BatchIterator:
                     order[b * self.batch_size : (b + 1) * self.batch_size]
                 )
         idx = self._queue.pop(0)
+        flips = (
+            self._rng.random(len(idx)) < self.flip_prob
+            if self.flip_prob > 0
+            else np.zeros(len(idx), dtype=bool)
+        )
+        if self.native:
+            from one_to_many_gan_tpu import runtime
+
+            return runtime.assemble_batch(self.images, idx, flips)
         batch = self.images[idx]  # gather, uint8
-        if self.flip_prob > 0:
-            flips = self._rng.random(len(idx)) < self.flip_prob
-            if flips.any():
-                batch = batch.copy()
-                batch[flips] = batch[flips, :, ::-1]
+        if flips.any():
+            batch = batch.copy()
+            batch[flips] = batch[flips, :, ::-1]
         return normalize_u8(batch)
