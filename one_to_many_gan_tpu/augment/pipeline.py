@@ -225,41 +225,59 @@ def warp_bilinear(images: jax.Array, g_inv: jax.Array) -> jax.Array:
 
     ``g_inv`` [B,3,3] maps centered output pixel coords -> centered input
     coords. Differentiable in ``images`` and ``g_inv``.
+
+    TPU-native formulation: per-pixel gathers run near scalar speed on
+    TPU, so bilinear sampling is recast as **tent-weight contractions**:
+
+        out[y,x] = sum_{y'} tent(sy[y,x]-y') * sum_{x'} tent(sx[y,x]-x') * img[y',x']
+
+    where tent(d) = max(0, 1-|d|) is exactly the two-tap bilinear weight
+    (and evaluates to 0 outside the frame = zero padding). The inner sum
+    is an [X,X'] x [Y',X'] matmul per output row (MXU); the outer sum is
+    an elementwise multiply-reduce (VPU). Work is chunked over output rows
+    to bound the [rows, X, Y'] intermediate, and scanned over the batch.
+    ~128x more FLOPs than a gather, but MXU FLOPs beat TPU gathers by far.
     """
-    _, h, w, _ = images.shape
-    dtype = images.dtype
+    b, h, w, c = images.shape
     ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
     xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # [H,W]
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [H,W,3]
     src = jnp.einsum("bij,hwj->bhwi", g_inv, grid)  # [B,H,W,3]
-    sx = src[..., 0] + (w - 1) / 2.0
+    sx = src[..., 0] + (w - 1) / 2.0  # [B,H,W]
     sy = src[..., 1] + (h - 1) / 2.0
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = (sx - x0).astype(dtype)[..., None]
-    fy = (sy - y0).astype(dtype)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    # Row chunk size: keep the [chunk, W, H'] tent intermediate ~<=16MB.
+    budget = 4 * 2**20  # elements
+    chunk = max(1, min(h, budget // (w * h)))
+    while h % chunk:
+        chunk -= 1
+    n_chunks = h // chunk
 
-    def sample(img, yi, xi):
-        """Gather img[yi, xi] with zero padding (single image)."""
-        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        return jnp.where(valid, img[yc, xc], 0.0)
+    xs_idx = jnp.arange(w, dtype=jnp.float32)
+    ys_idx = jnp.arange(h, dtype=jnp.float32)
 
-    def warp_one(img, y0i, x0i, fy, fx):
-        v00 = sample(img, y0i, x0i)
-        v01 = sample(img, y0i, x0i + 1)
-        v10 = sample(img, y0i + 1, x0i)
-        v11 = sample(img, y0i + 1, x0i + 1)
-        top = v00 + (v01 - v00) * fx
-        bot = v10 + (v11 - v10) * fx
-        return top + (bot - top) * fy
+    def warp_one(args):
+        img, sx_i, sy_i = args  # [H',W',C], [H,W], [H,W]
 
-    return jax.vmap(warp_one)(images, y0i, x0i, fy, fx)
+        def do_chunk(args):
+            sx_c, sy_c = args  # [chunk, W] each
+            # tent weights: [chunk, W, W'] and [chunk, W, H']
+            wx = jax.nn.relu(1.0 - jnp.abs(sx_c[..., None] - xs_idx))
+            wy = jax.nn.relu(1.0 - jnp.abs(sy_c[..., None] - ys_idx))
+            # inner contraction over x': [chunk, W, H', C]  (MXU)
+            g = jnp.einsum(
+                "rxp,ypc->rxyc", wx, img, preferred_element_type=jnp.float32
+            )
+            # outer: elementwise multiply + reduce over y'   (VPU)
+            return jnp.einsum("rxy,rxyc->rxc", wy, g)
+
+        sx_r = sx_i.reshape(n_chunks, chunk, w)
+        sy_r = sy_i.reshape(n_chunks, chunk, w)
+        out = jax.lax.map(do_chunk, (sx_r, sy_r))  # [n_chunks, chunk, W, C]
+        return out.reshape(h, w, c)
+
+    return jax.lax.map(warp_one, (images, sx, sy))
 
 
 def apply_color(images: jax.Array, cmat: jax.Array) -> jax.Array:

@@ -1,20 +1,34 @@
-"""Anti-aliased resampling ops (NHWC).
+"""Anti-aliased resampling ops (NHWC), TPU-native formulations.
 
 Behavioral contract (reference: src/model/layers.py:191-247):
 
 - ``blur3``: fixed 3x3 binomial blur [[1,2,1],[2,4,2],[1,2,1]]/16 applied
-  depthwise after a 1-pixel replication (edge) pad.
+  per channel after a 1-pixel replication (edge) pad.
 - ``upsample2x``: bilinear 2x (half-pixel centers, no anti-aliasing),
   then blur.
 - ``downsample2x``: blur, then bilinear resize to (H//2, W//2).
 
-The bilinear resize reproduces torch's ``align_corners=False,
-antialias=False`` sampling exactly: source coordinate
-``max(0, (dst + 0.5) * in/out - 0.5)``, two-tap lerp with the upper index
-clamped to ``in - 1``.  ``jax.image.resize`` cannot be used here because it
-anti-aliases when shrinking.  Implemented as two separable gather+lerp
-passes; on TPU these lower to cheap vectorized gathers and fuse with
-surrounding elementwise work.
+Bilinear sampling follows torch's ``align_corners=False, antialias=False``
+convention exactly: source coordinate ``max(0, (dst+0.5)*in/out - 0.5)``,
+two-tap lerp, upper index clamped (``jax.image.resize`` is unusable here —
+it anti-aliases when shrinking).
+
+TPU-native design — NO gathers anywhere (TPU gathers run near scalar
+speed; these ops are called dozens of times per train step):
+
+- general ``bilinear_resize``: per-axis **dense interpolation-matrix
+  matmuls** (out = A_h @ x @ A_w^T per channel). The matrices are built in
+  numpy at trace time from the exact two-tap weights, so the op is a pair
+  of MXU matmuls.
+- even-size 2x paths: the blur and the 2x resample fuse algebraically
+  into short separable FIR filters evaluated with **strided slices and
+  adds** (VPU, bandwidth-bound):
+    * blur+halve  = 4-tap [1,3,3,1]/8, stride 2, per axis, edge-padded;
+    * double+blur = 2-phase 3-tap filter (even [5,10,1]/16,
+      odd [1,10,5]/16) per axis (the [1,5,10,10,5,1]/16 stride-2
+      transposed kernel split into its polyphase components).
+  Both are exact reassociations of blur3 + the two-tap resize.
+- ``blur3`` itself: separable [1,2,1]/4 via shifted adds.
 """
 
 from __future__ import annotations
@@ -25,48 +39,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# 3x3 binomial kernel, normalized. Shape HWIO for depthwise conv.
-_BLUR_KERNEL = (
-    np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]], dtype=np.float32)
-    / 16.0
-)
+
+def _edge_pad_axis(x: jax.Array, axis: int, lo: int = 1, hi: int = 1) -> jax.Array:
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (lo, hi)
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def _blur1d(x: jax.Array, axis: int) -> jax.Array:
+    """[1,2,1]/4 with edge padding along one axis (shifted adds)."""
+    p = _edge_pad_axis(x, axis)
+    n = x.shape[axis]
+    lo = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+    mid = jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)
+    hi = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
+    return (lo + 2.0 * mid + hi) * 0.25
 
 
 def blur3(x: jax.Array) -> jax.Array:
-    """Depthwise 3x3 binomial blur with replication padding, NHWC."""
-    c = x.shape[-1]
-    kernel = jnp.asarray(_BLUR_KERNEL, dtype=x.dtype)
-    kernel = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 per group
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    return jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    """Depthwise 3x3 binomial blur with replication padding, NHWC.
+
+    Separable: [1,2,1]/4 along H then W (edge padding commutes across
+    axes), exactly the reference Smooth (layers.py:191-214).
+    """
+    return _blur1d(_blur1d(x, 1), 2)
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "axis"))
+@functools.lru_cache(maxsize=64)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] two-tap bilinear interpolation matrix (torch
+    half-pixel convention, negative source clamped to 0)."""
+    a = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.maximum((dst + 0.5) * scale - 0.5, 0.0)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.minimum(lo, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    np.add.at(a, (rows, lo), 1.0 - frac)
+    np.add.at(a, (rows, hi), frac)
+    return a
+
+
 def _resize_axis_linear(x: jax.Array, out_size: int, axis: int) -> jax.Array:
-    """Two-tap linear resize along one axis, torch half-pixel convention."""
+    """Two-tap linear resize along one axis as a dense matmul (MXU)."""
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    scale = in_size / out_size
-    dst = jnp.arange(out_size, dtype=jnp.float32)
-    src = jnp.maximum((dst + 0.5) * scale - 0.5, 0.0)
-    lo = jnp.floor(src)
-    frac = (src - lo).astype(x.dtype)
-    lo_idx = lo.astype(jnp.int32)
-    hi_idx = jnp.minimum(lo_idx + 1, in_size - 1)
-    a = jnp.take(x, lo_idx, axis=axis)
-    b = jnp.take(x, hi_idx, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    frac = frac.reshape(shape)
-    return a + (b - a) * frac
+    mat = jnp.asarray(_interp_matrix(in_size, out_size), dtype=x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = moved @ mat.T
+    return jnp.moveaxis(out, -1, axis)
 
 
 def bilinear_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -75,14 +100,56 @@ def bilinear_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return _resize_axis_linear(x, out_w, axis=2)
 
 
+# ------------------------------------------------------------- 2x fast paths
+
+
+def _blur_halve_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Fused [1,2,1]/4 blur + 2-tap halving along one even axis:
+    out[i] = (p[2i] + 3 p[2i+1] + 3 p[2i+2] + p[2i+3]) / 8 on the
+    edge-padded sequence p."""
+    n = x.shape[axis]
+    p = _edge_pad_axis(x, axis)  # length n + 2
+    t0 = jax.lax.slice_in_dim(p, 0, n - 1 + 1, stride=2, axis=axis)
+    t1 = jax.lax.slice_in_dim(p, 1, n + 1, stride=2, axis=axis)
+    t2 = jax.lax.slice_in_dim(p, 2, n + 1 + 1, stride=2, axis=axis)
+    t3 = jax.lax.slice_in_dim(p, 3, n + 2, stride=2, axis=axis)
+    return (t0 + 3.0 * (t1 + t2) + t3) * 0.125
+
+
+def _double_blur_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Fused 2x bilinear upsample + [1,2,1]/4 blur along one axis.
+
+    Polyphase taps over the edge-padded input: even output [5,10,1]/16 on
+    (x[k-1], x[k], x[k+1]); odd output [1,10,5]/16. The edge clamp makes
+    these formulas exact at the borders too: e.g. at k=0,
+    (5x[0]+10x[0]+x[1])/16 = (15x[0]+x[1])/16, which is precisely the
+    unfused pipeline's z[0] = (3*up[0] + up[1])/4 with up[0]=x[0] (clamped
+    source coordinate) and up[1]=(3x[0]+x[1])/4.
+    """
+    n = x.shape[axis]
+    p = _edge_pad_axis(x, axis)
+    xm = jax.lax.slice_in_dim(p, 0, n, axis=axis)  # x[k-1]
+    x0 = jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)  # x[k]
+    xp = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)  # x[k+1]
+
+    even = (5.0 * xm + 10.0 * x0 + xp) * (1.0 / 16.0)
+    odd = (xm + 10.0 * x0 + 5.0 * xp) * (1.0 / 16.0)
+
+    out = jnp.stack([even, odd], axis=axis + 1)  # interleave phases
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape)
+
+
 def upsample2x(x: jax.Array) -> jax.Array:
     """Bilinear 2x upsample then smooth (reference UpSample, layers.py:217-229)."""
-    _, h, w, _ = x.shape
-    return blur3(bilinear_resize(x, 2 * h, 2 * w))
+    return _double_blur_axis(_double_blur_axis(x, 1), 2)
 
 
 def downsample2x(x: jax.Array) -> jax.Array:
     """Smooth then bilinear downsample to (H//2, W//2) (reference DownSample,
     layers.py:232-247)."""
     _, h, w, _ = x.shape
+    if h % 2 == 0 and w % 2 == 0:
+        return _blur_halve_axis(_blur_halve_axis(x, 1), 2)
     return bilinear_resize(blur3(x), h // 2, w // 2)
