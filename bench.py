@@ -8,6 +8,17 @@ full training iteration (discriminator update + generator update + ADA +
 replay buffer), i.e. the same unit of work as one iteration of the
 reference's loop (reference train.py:204-251).
 
+Operating point: bfloat16 conv/matmul activations (f32 params, f32
+norm/style/loss statistics) — the intended TPU-native training
+configuration (BASELINE.json config 3). Override with env vars:
+OTM_BENCH_BATCH, OTM_BENCH_PRECISION (float32|bfloat16), OTM_BENCH_REMAT,
+OTM_BENCH_SIZE, OTM_BENCH_STEPS.
+
+Timing note: this environment's block_until_ready does not synchronize
+through the axon TPU tunnel, so the measured region chains MEASURE_STEPS
+data-dependent steps (donated state) and closes with a device->host scalar
+read; the ~30ms round-trip is amortized across the chain.
+
 Baseline denominator: the reference publishes NO numbers (BASELINE.md), so
 ``vs_baseline`` is computed against an estimate of the reference's
 single-GPU throughput at 256^2: the reference runs batch 4 with ~11 full
@@ -22,25 +33,37 @@ REFERENCE_GPU_IMG_PER_SEC when a measured reference number exists.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 REFERENCE_GPU_IMG_PER_SEC = 20.0  # documented estimate; see module docstring
 
-BATCH = 8
-IMAGE_SIZE = 256
+BATCH = int(os.environ.get("OTM_BENCH_BATCH", "16"))
+IMAGE_SIZE = int(os.environ.get("OTM_BENCH_SIZE", "256"))
+PRECISION = os.environ.get("OTM_BENCH_PRECISION", "bfloat16")
+REMAT = os.environ.get("OTM_BENCH_REMAT", "0") == "1"
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = int(os.environ.get("OTM_BENCH_STEPS", "20"))
 
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import numpy as np
 
-    from one_to_many_gan_tpu.presets import tiny_config
     from one_to_many_gan_tpu.core.state import Models, init_train_state
     from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
+    from one_to_many_gan_tpu.presets import tiny_config
 
-    config = tiny_config((IMAGE_SIZE, IMAGE_SIZE), BATCH, min_latent=64)
+    config = tiny_config(
+        (IMAGE_SIZE, IMAGE_SIZE),
+        BATCH,
+        min_latent=64,
+        tpu={"precision": PRECISION, "remat": REMAT},
+    )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
     step = jax.jit(make_train_step(config, models), donate_argnums=0)
@@ -58,12 +81,12 @@ def main() -> None:
 
     for i in range(WARMUP_STEPS):
         state, metrics = step(state, batches, jax.random.key(i))
-    jax.block_until_ready(metrics["total_gen_loss"])
+    float(metrics["total_gen_loss"])  # real sync (host read)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         state, metrics = step(state, batches, jax.random.key(100 + i))
-    jax.block_until_ready(metrics["total_gen_loss"])
+    float(metrics["total_gen_loss"])  # real sync (host read)
     dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * MEASURE_STEPS / dt

@@ -82,6 +82,9 @@ class TpuConfig(TypedDict):
     # lazy-regularization interval in steps.
     r1_gamma: float
     r1_interval: int
+    # Rematerialize generator passes in the G loss backward (trade ~30%
+    # recompute for a large activation-memory cut; enables big batches).
+    remat: bool
     # Auto-resume from the latest Orbax checkpoint if present.
     resume: bool
     # Use the C++ native data loader when available.
@@ -110,6 +113,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "ema_decay": 0.0,
     "r1_gamma": 0.0,
     "r1_interval": 16,
+    "remat": False,
     "resume": True,
     "native_loader": False,
     "profile_step": 0,

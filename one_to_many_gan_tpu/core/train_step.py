@@ -75,6 +75,27 @@ def make_train_step(config: Config, models: Models):
         models.extractor,
     )
 
+    # Optional rematerialization: recompute generator passes in the G-loss
+    # backward instead of storing every activation (tpu.remat). The G loss
+    # traverses the decoder 5x + encoder + extractor 2x; remat cuts its
+    # activation footprint by ~the number of passes.
+    if tpu_cfg["remat"]:
+        gen_encode = jax.checkpoint(
+            lambda p, img: gen.apply(p, img, method="encode")
+        )
+        gen_decode = jax.checkpoint(
+            lambda p, z, ws: gen.apply(p, z, ws, method="decode")
+        )
+        gen_extract = jax.checkpoint(
+            lambda p, z, ws: gen.apply(p, z, ws, method="extract")
+        )
+        ext_apply = jax.checkpoint(lambda p, img: extractor.apply(p, img))
+    else:
+        gen_encode = lambda p, img: gen.apply(p, img, method="encode")  # noqa: E731
+        gen_decode = lambda p, z, ws: gen.apply(p, z, ws, method="decode")  # noqa: E731
+        gen_extract = lambda p, z, ws: gen.apply(p, z, ws, method="extract")  # noqa: E731
+        ext_apply = lambda p, img: extractor.apply(p, img)  # noqa: E731
+
     def sample_w(params_m, rng, batch, domain, *, mix=True):
         rngs = sample_style_rngs(rng, batch, w_dim, n_blocks, mixing_prob)
         s = mapping.apply(params_m, rngs, n_blocks, mix_styles=mix,
@@ -128,7 +149,7 @@ def make_train_step(config: Config, models: Models):
             combined = jnp.concatenate(
                 [batches.g_shoeprints, batches.g_shoemarks], axis=0
             )
-            latents = gen.apply(params_g, combined, method="encode")
+            latents = gen_encode(params_g, combined)
             kl = losses.kl_loss(latents)
             if add_latent_noise:
                 latents = latents + jax.random.normal(
@@ -138,36 +159,36 @@ def make_train_step(config: Config, models: Models):
 
             # Reconstruction: θ=0 -> zero style for every block.
             w0 = jnp.zeros((n_blocks, batch, w_dim), jnp.float32)
-            recon = gen.apply(params_g, print_latent, w0, method="decode")
+            recon = gen_decode(params_g, print_latent, w0)
             rec_loss = losses.l1_loss(
                 recon.astype(jnp.float32), batches.g_shoeprints
             )
 
             # Identity: decode shoemark latent with its own extracted style.
-            mark_w = extractor.apply(params_s, batches.g_shoemarks)
+            mark_w = ext_apply(params_s, batches.g_shoemarks)
             mark_w_stack = jnp.broadcast_to(mark_w[None], (n_blocks, *mark_w.shape))
-            idt = gen.apply(params_g, mark_latent, mark_w_stack, method="decode")
+            idt = gen_decode(params_g, mark_latent, mark_w_stack)
             idt_loss = losses.l1_loss(
                 idt.astype(jnp.float32), batches.g_shoemarks
             )
 
             # GAN: translate θ=1, augment, score with the UPDATED D.
             w_t = sample_w(params_m, keys[7], batch, 1.0)
-            generated = gen.apply(params_g, print_latent, w_t, method="decode")
+            generated = gen_decode(params_g, print_latent, w_t)
             aug_gen = augment(generated.astype(jnp.float32), p_used, keys[8])
             gen_scores = disc.apply(params_d, aug_gen).astype(jnp.float32)
             gan = losses.lsgan_g_loss(gen_scores)
 
             # Style cycle: re-extract the style from the fakes.
-            rec_w = extractor.apply(params_s, generated)
+            rec_w = ext_apply(params_s, generated)
             style = losses.style_cycle_loss(w_t[-1], rec_w)
 
             # θ-path length: finite difference through the decoder taps.
             w_path = sample_w(params_m, keys[9], batch, 1.0)
             w1 = apply_domain(w_path, d1)
             w2 = apply_domain(w_path, d2)
-            f1 = gen.apply(params_g, print_latent, w1, method="extract")
-            f2 = gen.apply(params_g, print_latent, w2, method="extract")
+            f1 = gen_extract(params_g, print_latent, w1)
+            f2 = gen_extract(params_g, print_latent, w2)
             path = losses.path_loss(f1, f2, fin_diff_h)
 
             total = (
