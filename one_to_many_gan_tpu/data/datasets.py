@@ -77,6 +77,49 @@ class ShoeDataset:
         return self.images.shape[0]
 
 
+class Edges2ShoesDataset:
+    """Paired edges2shoes loader: each image holds the edge map in the left
+    256px and the photo in the right 256px; ``kind`` selects the half
+    (reference datasets.py:53-94 — defined there but never wired up; kept
+    for capability parity)."""
+
+    def __init__(
+        self,
+        path: Path | str,
+        *,
+        mode: str,
+        kind: str,  # "edge" | "shoe"
+        image_size: tuple[int, int],
+        channels: int,
+    ):
+        if kind not in ("edge", "shoe"):
+            msg = f"kind must be edge|shoe, got {kind}"
+            raise ValueError(msg)
+        if Image is None:  # pragma: no cover
+            msg = "PIL is required"
+            raise RuntimeError(msg)
+        root = Path(path).expanduser() / mode
+        files = sorted(root.rglob("*.jpg")) + sorted(root.rglob("*.png"))
+        if not files:
+            raise FileNotFoundError(f"no images under {root}")
+        h, w = image_size
+        images = []
+        for f in files:
+            img = Image.open(f)
+            box = (0, 0, 256, 256) if kind == "edge" else (256, 0, 512, 256)
+            img = img.crop(box).convert("L" if channels == 1 else "RGB")
+            img = img.resize((w, h), Image.BILINEAR)
+            arr = np.asarray(img, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            images.append(arr)
+        self.images = np.stack(images)
+        self.files = files
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+
 class ArrayDataset:
     """Dataset wrapping a pre-built uint8 array (synthetic data, tests)."""
 

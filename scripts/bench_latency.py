@@ -1,0 +1,54 @@
+"""p50 latency of the batched 1->N inference sweep (BASELINE.json metric 3).
+
+One source image x N latents decoded in a single XLA call at 256x256.
+Prints a JSON line per N.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from one_to_many_gan_tpu.core.state import Models, init_train_state  # noqa: E402
+from one_to_many_gan_tpu.core.train_step import make_inference_fns  # noqa: E402
+from one_to_many_gan_tpu.presets import tiny_config  # noqa: E402
+
+
+def main():
+    config = tiny_config((256, 256), 4, min_latent=64,
+                         tpu={"precision": "bfloat16"})
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    _, one_to_many = make_inference_fns(config, models)
+    fn = jax.jit(one_to_many, static_argnums=4)
+
+    img = jax.device_put(
+        np.random.default_rng(0).standard_normal((256, 256, 1)).astype(np.float32)
+    )
+    for n in (8, 64):
+        # warm
+        np.asarray(fn(state.params_g, state.params_m, img, jax.random.key(0), n))
+        times = []
+        for i in range(9):
+            t0 = time.perf_counter()
+            out = np.asarray(
+                fn(state.params_g, state.params_m, img, jax.random.key(i), n)
+            )
+            times.append((time.perf_counter() - t0) * 1000)
+        p50 = sorted(times)[len(times) // 2]
+        print(json.dumps({
+            "metric": f"one_to_{n}_sweep_p50_latency_256x256",
+            "value": round(p50, 2),
+            "unit": "ms",
+        }))
+
+
+if __name__ == "__main__":
+    main()
