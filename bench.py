@@ -55,7 +55,7 @@ def main() -> None:
     import numpy as np
 
     from one_to_many_gan_tpu.core.state import Models, init_train_state
-    from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
+    from one_to_many_gan_tpu.core.train_step import Batches, make_multi_step
     from one_to_many_gan_tpu.presets import tiny_config
 
     config = tiny_config(
@@ -66,30 +66,35 @@ def main() -> None:
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
-    step = jax.jit(make_train_step(config, models), donate_argnums=0)
+    # scan K steps per jitted call (the production inner loop) to amortize
+    # per-call dispatch overhead
+    k = int(os.environ.get("OTM_BENCH_STEPS_PER_CALL", "10"))
+    step = jax.jit(make_multi_step(config, models, k), donate_argnums=0)
 
     rng = np.random.default_rng(0)
 
     def mk():
         return jax.device_put(
-            (rng.random((BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)) * 2 - 1).astype(
+            (rng.random((k, BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)) * 2 - 1).astype(
                 np.float32
             )
         )
 
     batches = Batches(mk(), mk(), mk(), mk())
 
-    for i in range(WARMUP_STEPS):
-        state, metrics = step(state, batches, jax.random.key(i))
-    float(metrics["total_gen_loss"])  # real sync (host read)
+    state, metrics = step(state, batches, jax.random.split(jax.random.key(9), k))
+    float(metrics["total_gen_loss"][-1])  # real sync (host read)
 
+    n_calls = max(1, MEASURE_STEPS // k)
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, metrics = step(state, batches, jax.random.key(100 + i))
-    float(metrics["total_gen_loss"])  # real sync (host read)
+    for i in range(n_calls):
+        state, metrics = step(
+            state, batches, jax.random.split(jax.random.key(100 + i), k)
+        )
+    float(metrics["total_gen_loss"][-1])  # real sync (host read)
     dt = time.perf_counter() - t0
 
-    images_per_sec = BATCH * MEASURE_STEPS / dt
+    images_per_sec = BATCH * k * n_calls / dt
     print(
         json.dumps(
             {

@@ -85,6 +85,10 @@ class TpuConfig(TypedDict):
     # Rematerialize generator passes in the G loss backward (trade ~30%
     # recompute for a large activation-memory cut; enables big batches).
     remat: bool
+    # Fused steps executed per jitted call (lax.scan inner loop). Amortizes
+    # host dispatch overhead; clamped to divide the log/checkpoint
+    # intervals so cadences are preserved.
+    steps_per_call: int
     # Auto-resume from the latest Orbax checkpoint if present.
     resume: bool
     # Use the C++ native data loader when available.
@@ -114,6 +118,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "r1_gamma": 0.0,
     "r1_interval": 16,
     "remat": False,
+    "steps_per_call": 1,
     "resume": True,
     "native_loader": False,
     "profile_step": 0,

@@ -255,6 +255,29 @@ def make_train_step(config: Config, models: Models):
     return train_step
 
 
+def make_multi_step(config: Config, models: Models, steps_per_call: int):
+    """Scan ``steps_per_call`` fused steps inside ONE jitted program.
+
+    Amortizes per-call dispatch/transfer overhead (significant on hosts far
+    from the accelerator) across K steps — the standard TPU "inner loop"
+    pattern. Semantics are identical to K sequential ``train_step`` calls
+    with the same per-step keys: pass ``keys`` [K] (e.g. fold_in of the
+    loop key at each global step) and batches stacked on a leading [K]
+    axis. Returns metrics stacked [K, ...].
+    """
+    step = make_train_step(config, models)
+
+    def multi_step(state: TrainState, batches: Batches, keys: jax.Array):
+        def body(s, xs):
+            b, key = xs
+            s, metrics = step(s, b, key)
+            return s, metrics
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return multi_step
+
+
 def make_inference_fns(config: Config, models: Models):
     """Pure inference entry points (translation + 1->N sweep).
 

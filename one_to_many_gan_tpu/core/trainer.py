@@ -23,6 +23,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from one_to_many_gan_tpu.config import Config
@@ -32,7 +33,11 @@ from one_to_many_gan_tpu.core.evaluation import (
     val_checkpoint,
 )
 from one_to_many_gan_tpu.core.state import Models, TrainState, init_train_state
-from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
+from one_to_many_gan_tpu.core.train_step import (
+    Batches,
+    make_multi_step,
+    make_train_step,
+)
 from one_to_many_gan_tpu.data import BatchIterator, ShoeDataset
 from one_to_many_gan_tpu.parallel import make_mesh, replicate, shard_batch
 
@@ -86,7 +91,25 @@ class Trainer:
         self.config = config
         self.verbose = verbose
         self.models = Models(config)
-        self.step_fn = jax.jit(make_train_step(config, self.models), donate_argnums=0)
+
+        # Inner-loop length: scan K fused steps per jitted call, clamped so
+        # the log/checkpoint cadences land on call boundaries.
+        import math
+
+        k = max(1, config["tpu"]["steps_per_call"])
+        k = math.gcd(
+            math.gcd(k, config["evaluation"]["log_interval"]),
+            config["evaluation"]["checkpoint_interval"],
+        )
+        self.steps_per_call = k
+        if k > 1:
+            self.step_fn = jax.jit(
+                make_multi_step(config, self.models, k), donate_argnums=0
+            )
+        else:
+            self.step_fn = jax.jit(
+                make_train_step(config, self.models), donate_argnums=0
+            )
 
         seed = config["training"]["random_seed"]
         self.base_rng = jax.random.key(seed)
@@ -195,27 +218,62 @@ class Trainer:
         )
         t0 = time.perf_counter()
 
-        for step in range(self.start_step, total):
-            if profile_step and step == profile_step:
+        k = self.steps_per_call
+        step = self.start_step
+        while step < total:
+            k_now = min(k, total - step)
+            if profile_step and step <= profile_step < step + k_now:
                 jax.profiler.start_trace(str(run_dir / "trace"))
-            rng = jax.random.fold_in(self.loop_rng, step)
-            self.state, metrics = self.step_fn(self.state, self._next_batches(), rng)
-            self.logger.append_metrics(metrics)
-            if profile_step and step == profile_step:
-                jax.block_until_ready(metrics["total_gen_loss"])
+            if k_now == 1:
+                rng = jax.random.fold_in(self.loop_rng, step)
+                self.state, metrics = self.step_fn(
+                    self.state, self._next_batches(), rng
+                )
+                metric_rows = [metrics]
+            else:
+                if k_now != k:  # tail smaller than the compiled inner loop
+                    tail_fn = jax.jit(
+                        make_multi_step(self.config, self.models, k_now),
+                        donate_argnums=0,
+                    )
+                else:
+                    tail_fn = self.step_fn
+                keys = jnp.stack(
+                    [
+                        jax.random.fold_in(self.loop_rng, step + i)
+                        for i in range(k_now)
+                    ]
+                )
+                batch_list = [self._next_batches() for _ in range(k_now)]
+                stacked = Batches(
+                    *(
+                        jnp.stack([getattr(b, f) for b in batch_list])
+                        for f in Batches._fields
+                    )
+                )
+                self.state, metrics = tail_fn(self.state, stacked, keys)
+                metric_rows = [
+                    {name: value[i] for name, value in metrics.items()}
+                    for i in range(k_now)
+                ]
+            for row in metric_rows:
+                self.logger.append_metrics(row)
+            if profile_step and step <= profile_step < step + k_now:
+                jax.block_until_ready(metric_rows[-1]["total_gen_loss"])
                 jax.profiler.stop_trace()
+            step += k_now
 
-            if (step + 1) % log_interval == 0 or (step + 1) == total:
-                line = self.logger.print(step + 1)
+            if step % log_interval == 0 or step == total:
+                line = self.logger.print(step)
                 if self.verbose:
-                    rate = (step + 1 - self.start_step) / (time.perf_counter() - t0)
+                    rate = (step - self.start_step) / (time.perf_counter() - t0)
                     print(line + f" [{rate:.2f} it/s]")
                 run_dir.mkdir(parents=True, exist_ok=True)
                 with (run_dir / "log").open("a") as f:
                     f.write(line + "\n")
 
-            if (step + 1) % ckpt_interval == 0 or (step + 1) == total:
-                self.checkpoint(step)
+            if step % ckpt_interval == 0 or step == total:
+                self.checkpoint(step - 1)
         return self.state
 
     def checkpoint(self, step: int) -> None:
