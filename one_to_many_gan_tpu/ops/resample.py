@@ -46,14 +46,45 @@ def _edge_pad_axis(x: jax.Array, axis: int, lo: int = 1, hi: int = 1) -> jax.Arr
     return jnp.pad(x, cfg, mode="edge")
 
 
+def _depthwise_1d(
+    x: jax.Array,
+    taps: tuple[float, ...],
+    axis: int,
+    *,
+    stride: int = 1,
+    lhs_dilation: int = 1,
+    conv_pad: tuple[int, int] = (0, 0),
+) -> jax.Array:
+    """Depthwise 1D FIR along H (axis=1) or W (axis=2), NHWC.
+
+    Convs keep the TPU's native tiled layout; strided slices / stack+reshape
+    interleaves force padded relayout copies (measured ~80x slower)."""
+    c = x.shape[-1]
+    k = jnp.asarray(taps, dtype=x.dtype)
+    if axis == 1:
+        kernel = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, c))
+        strides = (stride, 1)
+        dil = (lhs_dilation, 1)
+        padding = [conv_pad, (0, 0)]
+    else:
+        kernel = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, c))
+        strides = (1, stride)
+        dil = (1, lhs_dilation)
+        padding = [(0, 0), conv_pad]
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        strides,
+        padding,
+        lhs_dilation=dil,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
 def _blur1d(x: jax.Array, axis: int) -> jax.Array:
-    """[1,2,1]/4 with edge padding along one axis (shifted adds)."""
-    p = _edge_pad_axis(x, axis)
-    n = x.shape[axis]
-    lo = jax.lax.slice_in_dim(p, 0, n, axis=axis)
-    mid = jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)
-    hi = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
-    return (lo + 2.0 * mid + hi) * 0.25
+    """[1,2,1]/4 with edge padding along one axis."""
+    return _depthwise_1d(_edge_pad_axis(x, axis), (0.25, 0.5, 0.25), axis)
 
 
 def blur3(x: jax.Array) -> jax.Array:
@@ -104,16 +135,11 @@ def bilinear_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
 
 
 def _blur_halve_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Fused [1,2,1]/4 blur + 2-tap halving along one even axis:
-    out[i] = (p[2i] + 3 p[2i+1] + 3 p[2i+2] + p[2i+3]) / 8 on the
-    edge-padded sequence p."""
-    n = x.shape[axis]
-    p = _edge_pad_axis(x, axis)  # length n + 2
-    t0 = jax.lax.slice_in_dim(p, 0, n - 1 + 1, stride=2, axis=axis)
-    t1 = jax.lax.slice_in_dim(p, 1, n + 1, stride=2, axis=axis)
-    t2 = jax.lax.slice_in_dim(p, 2, n + 1 + 1, stride=2, axis=axis)
-    t3 = jax.lax.slice_in_dim(p, 3, n + 2, stride=2, axis=axis)
-    return (t0 + 3.0 * (t1 + t2) + t3) * 0.125
+    """Fused [1,2,1]/4 blur + 2-tap halving along one even axis: depthwise
+    4-tap [1,3,3,1]/8, stride 2, on the edge-padded sequence (exact
+    reassociation of blur + the two-tap resize; verified vs torch)."""
+    k = (0.125, 0.375, 0.375, 0.125)
+    return _depthwise_1d(_edge_pad_axis(x, axis), k, axis, stride=2)
 
 
 def _double_blur_axis(x: jax.Array, axis: int) -> jax.Array:
@@ -126,19 +152,10 @@ def _double_blur_axis(x: jax.Array, axis: int) -> jax.Array:
     unfused pipeline's z[0] = (3*up[0] + up[1])/4 with up[0]=x[0] (clamped
     source coordinate) and up[1]=(3x[0]+x[1])/4.
     """
-    n = x.shape[axis]
-    p = _edge_pad_axis(x, axis)
-    xm = jax.lax.slice_in_dim(p, 0, n, axis=axis)  # x[k-1]
-    x0 = jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)  # x[k]
-    xp = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)  # x[k+1]
-
-    even = (5.0 * xm + 10.0 * x0 + xp) * (1.0 / 16.0)
-    odd = (xm + 10.0 * x0 + 5.0 * xp) * (1.0 / 16.0)
-
-    out = jnp.stack([even, odd], axis=axis + 1)  # interleave phases
-    shape = list(x.shape)
-    shape[axis] = 2 * n
-    return out.reshape(shape)
+    k = (1 / 16, 5 / 16, 10 / 16, 10 / 16, 5 / 16, 1 / 16)
+    return _depthwise_1d(
+        _edge_pad_axis(x, axis), k, axis, lhs_dilation=2, conv_pad=(1, 1)
+    )
 
 
 def upsample2x(x: jax.Array) -> jax.Array:
