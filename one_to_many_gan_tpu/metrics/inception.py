@@ -36,35 +36,20 @@ def _find_weights() -> Path | None:
 
 
 def try_load_inception():
-    """Return a FeatureFn if InceptionV3 weights are available, else None."""
+    """Return a FeatureFn if InceptionV3 weights are available, else None.
+
+    Runs the on-TPU JAX InceptionV3 (metrics/inception_jax.py) with
+    torchvision-format weights (.npz or torch checkpoint)."""
     weights = _find_weights()
     if weights is None:
         return None
-    try:  # torch runs the canonical graph on CPU; fine for offline eval
-        import numpy as np
-        import torch
-        from torchvision.models import inception_v3
-    except ImportError:
+    try:
+        from one_to_many_gan_tpu.metrics.inception_jax import (
+            load_params,
+            make_extractor,
+        )
+
+        return make_extractor(load_params(weights))
+    except Exception as exc:  # malformed/incompatible weights: fall back
+        print(f"inception weights at {weights} unusable ({exc}); falling back")
         return None
-
-    model = inception_v3(weights=None, aux_logits=True, init_weights=False)
-    state = torch.load(weights, map_location="cpu", weights_only=True)
-    model.load_state_dict(state, strict=False)
-    model.fc = torch.nn.Identity()
-    model.eval()
-
-    def extract(images_u8):
-        import torch.nn.functional as F
-
-        x = torch.from_numpy(images_u8).permute(0, 3, 1, 2).float() / 255.0
-        if x.shape[1] == 1:
-            x = x.repeat(1, 3, 1, 1)
-        x = F.interpolate(x, (299, 299), mode="bilinear", align_corners=False)
-        x = (x - 0.5) / 0.5
-        feats = []
-        with torch.no_grad():
-            for i in range(0, x.shape[0], 32):
-                feats.append(model(x[i : i + 32]).numpy())
-        return np.concatenate(feats)
-
-    return extract
