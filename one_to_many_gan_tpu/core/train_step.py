@@ -157,24 +157,32 @@ def make_train_step(config: Config, models: Models):
                 )
             print_latent, mark_latent = jnp.split(latents, 2, axis=0)
 
-            # Reconstruction: θ=0 -> zero style for every block.
+            # The decoder is strictly per-sample (modulated convs, per-block
+            # style routing, no cross-batch statistics), so the reference's
+            # three sequential decodes (reconstruction θ=0 / identity with
+            # the extracted shoemark style / θ=1 translation,
+            # training.py:171-204) run here as ONE decode at 3x batch —
+            # identical math per sample, fewer and larger MXU kernels.
             w0 = jnp.zeros((n_blocks, batch, w_dim), jnp.float32)
-            recon = gen_decode(params_g, print_latent, w0)
+            mark_w = ext_apply(params_s, batches.g_shoemarks)
+            mark_w_stack = jnp.broadcast_to(mark_w[None], (n_blocks, *mark_w.shape))
+            w_t = sample_w(params_m, keys[7], batch, 1.0)
+
+            lat3 = jnp.concatenate(
+                [print_latent, mark_latent, print_latent], axis=0
+            )
+            w3 = jnp.concatenate([w0, mark_w_stack, w_t], axis=1)
+            out3 = gen_decode(params_g, lat3, w3)
+            recon, idt, generated = jnp.split(out3, 3, axis=0)
+
             rec_loss = losses.l1_loss(
                 recon.astype(jnp.float32), batches.g_shoeprints
             )
-
-            # Identity: decode shoemark latent with its own extracted style.
-            mark_w = ext_apply(params_s, batches.g_shoemarks)
-            mark_w_stack = jnp.broadcast_to(mark_w[None], (n_blocks, *mark_w.shape))
-            idt = gen_decode(params_g, mark_latent, mark_w_stack)
             idt_loss = losses.l1_loss(
                 idt.astype(jnp.float32), batches.g_shoemarks
             )
 
-            # GAN: translate θ=1, augment, score with the UPDATED D.
-            w_t = sample_w(params_m, keys[7], batch, 1.0)
-            generated = gen_decode(params_g, print_latent, w_t)
+            # GAN: augment the translations, score with the UPDATED D.
             aug_gen = augment(generated.astype(jnp.float32), p_used, keys[8])
             gen_scores = disc.apply(params_d, aug_gen).astype(jnp.float32)
             gan = losses.lsgan_g_loss(gen_scores)
@@ -184,11 +192,16 @@ def make_train_step(config: Config, models: Models):
             style = losses.style_cycle_loss(w_t[-1], rec_w)
 
             # θ-path length: finite difference through the decoder taps.
+            # Both finite-difference legs (training.py:226-233) batch into
+            # one extract at 2x batch.
             w_path = sample_w(params_m, keys[9], batch, 1.0)
             w1 = apply_domain(w_path, d1)
             w2 = apply_domain(w_path, d2)
-            f1 = gen_extract(params_g, print_latent, w1)
-            f2 = gen_extract(params_g, print_latent, w2)
+            lat2 = jnp.concatenate([print_latent, print_latent], axis=0)
+            w12 = jnp.concatenate([w1, w2], axis=1)
+            f12 = gen_extract(params_g, lat2, w12)
+            f1 = [f[:batch] for f in f12]
+            f2 = [f[batch:] for f in f12]
             path = losses.path_loss(f1, f2, fin_diff_h)
 
             total = (
