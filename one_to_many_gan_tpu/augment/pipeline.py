@@ -59,7 +59,11 @@ CONTRAST_STD = 0.5
 HUE_MAX = 1.0
 SATURATION_STD = 1.0
 
-_LUMA = jnp.asarray([1.0, 1.0, 1.0, 0.0]) / jnp.sqrt(3.0)
+# Host-side constant (a module-level DEVICE array would be committed to
+# whatever backend is default at import and can poison later lowerings).
+import numpy as _np
+
+_LUMA = _np.asarray([1.0, 1.0, 1.0, 0.0], dtype=_np.float32) / _np.sqrt(3.0)
 
 
 def _eye3(b: int) -> jax.Array:
@@ -220,8 +224,17 @@ def color_matrix(
     return c
 
 
-def warp_bilinear(images: jax.Array, g_inv: jax.Array) -> jax.Array:
-    """Batched bilinear warp, NHWC, zero padding outside the frame.
+# Maximum anti-aliasing kernel half-width (input pixels). Minifications
+# stronger than this are slightly under-filtered; with the published
+# parameter ranges (scale/aniso log2-std 0.2 + rotation) the per-axis
+# footprint virtually never exceeds it.
+_AA_MAX_WIDTH = 4.0
+
+
+def warp_bilinear(
+    images: jax.Array, g_inv: jax.Array, *, antialias: bool = False
+) -> jax.Array:
+    """Batched affine warp, NHWC, zero padding outside the frame.
 
     ``g_inv`` [B,3,3] maps centered output pixel coords -> centered input
     coords. Differentiable in ``images`` and ``g_inv``.
@@ -237,6 +250,19 @@ def warp_bilinear(images: jax.Array, g_inv: jax.Array) -> jax.Array:
     an elementwise multiply-reduce (VPU). Work is chunked over output rows
     to bound the [rows, X, Y'] intermediate, and scanned over the batch.
     ~128x more FLOPs than a gather, but MXU FLOPs beat TPU gathers by far.
+
+    ``antialias=True`` low-pass-filters minifying transforms (the published
+    ADA pipeline does this by warping through a 2x supersampled, wavelet-
+    filtered image; reference consumes it via pytorch-ada, train.py:175-188).
+    Because the transform is affine, its Jacobian is constant per image, so
+    the same effect comes from **adaptively widening the separable sampling
+    kernel**: per-axis width w = clip(|J_row|_1, 1, 4) in input pixels,
+    kernel tent(d/w)/w, normalized by its analytic full-grid sum so the DC
+    gain is exactly 1 (out-of-frame taps still contribute zero CONTENT,
+    preserving the zero-padding contract). At width 1 this reduces to the
+    exact bilinear path. Cost: identical contraction shape — the dense
+    tent matrices simply hold wider kernels (zero extra FLOPs, unlike the
+    16x of true 2x supersampling with this formulation).
     """
     b, h, w, c = images.shape
     ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
@@ -247,6 +273,20 @@ def warp_bilinear(images: jax.Array, g_inv: jax.Array) -> jax.Array:
     sx = src[..., 0] + (w - 1) / 2.0  # [B,H,W]
     sy = src[..., 1] + (h - 1) / 2.0
 
+    if antialias:
+        # Per-image, per-axis footprint of one output pixel in input space:
+        # the L1 row norm of the Jacobian (projection of the mapped unit
+        # square onto each input axis).
+        jac = g_inv[:, :2, :2]
+        width_x = jnp.clip(
+            jnp.abs(jac[:, 0, 0]) + jnp.abs(jac[:, 0, 1]), 1.0, _AA_MAX_WIDTH
+        )
+        width_y = jnp.clip(
+            jnp.abs(jac[:, 1, 0]) + jnp.abs(jac[:, 1, 1]), 1.0, _AA_MAX_WIDTH
+        )
+    else:
+        width_x = width_y = jnp.ones((b,), jnp.float32)
+
     # Row chunk size: keep the [chunk, W, H'] tent intermediate ~<=16MB.
     budget = 4 * 2**20  # elements
     chunk = max(1, min(h, budget // (w * h)))
@@ -254,17 +294,33 @@ def warp_bilinear(images: jax.Array, g_inv: jax.Array) -> jax.Array:
         chunk -= 1
     n_chunks = h // chunk
 
-    xs_idx = jnp.arange(w, dtype=jnp.float32)
-    ys_idx = jnp.arange(h, dtype=jnp.float32)
+    # Tap index ranges, extended when antialiasing so the normalizing
+    # full-grid kernel sum counts out-of-frame taps: any position with
+    # in-frame content lies within max_width of the frame, and its support
+    # reaches another max_width beyond -> extend by 2 * max_width.
+    r = 2 * int(_AA_MAX_WIDTH) if antialias else 0
+    xs_idx = jnp.arange(-r, w + r, dtype=jnp.float32)
+    ys_idx = jnp.arange(-r, h + r, dtype=jnp.float32)
 
     def warp_one(args):
-        img, sx_i, sy_i = args  # [H',W',C], [H,W], [H,W]
+        img, sx_i, sy_i, wx_w, wy_w = args  # [H',W',C], [H,W], [H,W], [], []
+
+        def kernel(coords, idx, width):
+            # [chunk, W, taps] scaled tent, normalized to full-grid sum 1.
+            k = jax.nn.relu(1.0 - jnp.abs((coords[..., None] - idx) / width))
+            if not antialias:
+                return k
+            # eps guards positions mapped beyond the extended tap range
+            # (their in-frame content is all zero anyway -> output 0, not NaN)
+            return k / jnp.maximum(jnp.sum(k, axis=-1, keepdims=True), 1e-8)
 
         def do_chunk(args):
             sx_c, sy_c = args  # [chunk, W] each
-            # tent weights: [chunk, W, W'] and [chunk, W, H']
-            wx = jax.nn.relu(1.0 - jnp.abs(sx_c[..., None] - xs_idx))
-            wy = jax.nn.relu(1.0 - jnp.abs(sy_c[..., None] - ys_idx))
+            wx = kernel(sx_c, xs_idx, wx_w)
+            wy = kernel(sy_c, ys_idx, wy_w)
+            if r:
+                wx = wx[..., r : r + w]  # drop out-of-frame taps: zero content
+                wy = wy[..., r : r + h]
             # inner contraction over x': [chunk, W, H', C]  (MXU)
             g = jnp.einsum(
                 "rxp,ypc->rxyc", wx, img, preferred_element_type=jnp.float32
@@ -277,7 +333,7 @@ def warp_bilinear(images: jax.Array, g_inv: jax.Array) -> jax.Array:
         out = jax.lax.map(do_chunk, (sx_r, sy_r))  # [n_chunks, chunk, W, C]
         return out.reshape(h, w, c)
 
-    return jax.lax.map(warp_one, (images, sx, sy))
+    return jax.lax.map(warp_one, (images, sx, sy, width_x, width_y))
 
 
 def apply_color(images: jax.Array, cmat: jax.Array) -> jax.Array:
@@ -304,11 +360,15 @@ def augment(
     p: jax.Array | float,
     rng: jax.Array,
     categories: tuple[str, ...] = ALL_CATEGORIES,
+    *,
+    antialias: bool = True,
 ) -> jax.Array:
     """Differentiable ADA augmentation of an NHWC image batch.
 
     ``p`` is the shared per-category application probability (the ADA
-    controller's output). Deterministic given ``rng``.
+    controller's output). Deterministic given ``rng``. ``antialias``
+    low-pass-filters minifying geometric transforms (the published ADA
+    pipeline's supersampled warp contract); see ``warp_bilinear``.
     """
     cats = frozenset(categories)
     b, h, w, c = images.shape
@@ -317,7 +377,7 @@ def augment(
     out = images
     if cats & {"xflip", "rotate90", "xint", "scale", "rotate", "aniso", "xfrac"}:
         g_inv = geometric_matrix(k_geom, b, h, w, p, cats)
-        out = warp_bilinear(out, g_inv)
+        out = warp_bilinear(out, g_inv, antialias=antialias)
     if cats & {"brightness", "contrast", "lumaflip", "hue", "saturation"}:
         cmat = color_matrix(k_color, b, c, p, cats)
         out = apply_color(out, cmat)

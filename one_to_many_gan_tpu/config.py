@@ -96,6 +96,13 @@ class TpuConfig(TypedDict):
     # Emit jax.profiler traces to <checkpoint_dir>/<run>/trace at this step
     # (0 disables).
     profile_step: int
+    # Anti-aliased ADA warp (the published pipeline's supersampled-warp
+    # behavior; see augment/pipeline.py). Disable to use plain bilinear.
+    ada_antialias: bool
+    # Host-side batch prefetch depth: a producer thread assembles and
+    # device_puts the next groups of batches while the device runs the
+    # current K-step program (0 disables).
+    prefetch: int
 
 
 class Config(TypedDict):
@@ -122,6 +129,8 @@ _TPU_DEFAULTS: TpuConfig = {
     "resume": True,
     "native_loader": False,
     "profile_step": 0,
+    "ada_antialias": True,
+    "prefetch": 2,
 }
 
 _REQUIRED_SECTIONS = (

@@ -60,7 +60,13 @@ class Logger:
         self._data: dict[str, list] = {name: [] for name in self.SERIES}
 
     def append_metrics(self, metrics: dict):
-        """Append one fused-step metrics dict (device scalars kept lazy)."""
+        """Append one fused-step (or K-stacked multi-step) metrics dict.
+
+        Values stay ON DEVICE — shape [] scalars or [K] stacks. No
+        device->host transfer happens here; ``print`` pulls everything in
+        ONE ``jax.device_get`` per log interval (a per-scalar ``float()``
+        would cost 11 x interval round-trips through the host tunnel).
+        """
         m = metrics
         pairs = {
             "total_disc_losses": m["disc_loss"],
@@ -79,7 +85,11 @@ class Logger:
             self._data[key].append(value)
 
     def print(self, step: int) -> str:
-        mean = {k: float(np.mean([float(x) for x in v])) for k, v in self._data.items()}
+        host = jax.device_get(self._data)  # ONE host pull for all series
+        mean = {
+            k: float(np.mean(np.concatenate([np.atleast_1d(x) for x in v])))
+            for k, v in host.items()
+        }
         string = (
             f"Step: {step}/{self.training_steps}, "
             f"D loss: {mean['total_disc_losses']:.6g}, "

@@ -67,6 +67,7 @@ def make_train_step(config: Config, models: Models):
     ema_decay = tpu_cfg["ema_decay"]
     r1_gamma = tpu_cfg["r1_gamma"]
     r1_interval = tpu_cfg["r1_interval"]
+    ada_antialias = tpu_cfg["ada_antialias"]
 
     gen, disc, mapping, extractor = (
         models.generator,
@@ -114,22 +115,44 @@ def make_train_step(config: Config, models: Models):
         fakes = gen.apply(state.params_g, batches.d_shoeprints, w_d)
         fakes = jax.lax.stop_gradient(fakes.astype(jnp.float32))
         buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1])
-        aug_fake = augment(buffered, p_used, keys[2])
-        aug_real = augment(batches.d_shoemarks, p_used, keys[3])
+        aug_fake = augment(buffered, p_used, keys[2], antialias=ada_antialias)
+        aug_real = augment(
+            batches.d_shoemarks, p_used, keys[3], antialias=ada_antialias
+        )
 
         def d_loss_fn(params_d):
             fake_scores = disc.apply(params_d, aug_fake).astype(jnp.float32)
             real_scores = disc.apply(params_d, aug_real).astype(jnp.float32)
             loss = losses.lsgan_d_loss(real_scores, fake_scores)
-            if r1_gamma > 0:
-                penalty = losses.r1_penalty(disc.apply, params_d, aug_real)
-                apply_r1 = (state.step % r1_interval) == 0
-                loss = loss + jnp.where(apply_r1, (r1_gamma / 2.0) * penalty, 0.0)
             return loss, (real_scores, fake_scores)
 
         (d_loss, (real_scores, fake_scores)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.params_d)
+
+        if r1_gamma > 0:
+            # Lazy regularization: the R1 double-backward runs only every
+            # r1_interval steps — lax.cond executes ONE branch at runtime,
+            # so off-interval steps genuinely skip the compute (the point of
+            # lazy regularization; jnp.where would pay it every step).
+            def r1_branch(params_d):
+                loss_p, grads_p = jax.value_and_grad(
+                    lambda p: (r1_gamma / 2.0)
+                    * losses.r1_penalty(disc.apply, p, aug_real)
+                )(params_d)
+                return loss_p, grads_p
+
+            def zero_branch(params_d):
+                return jnp.zeros(()), jax.tree.map(jnp.zeros_like, params_d)
+
+            r1_loss, r1_grads = jax.lax.cond(
+                (state.step % r1_interval) == 0,
+                r1_branch,
+                zero_branch,
+                state.params_d,
+            )
+            d_loss = d_loss + r1_loss
+            d_grads = jax.tree.map(jnp.add, d_grads, r1_grads)
         d_updates, opt_d = opts["d"].update(d_grads, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, d_updates)
 
@@ -183,7 +206,10 @@ def make_train_step(config: Config, models: Models):
             )
 
             # GAN: augment the translations, score with the UPDATED D.
-            aug_gen = augment(generated.astype(jnp.float32), p_used, keys[8])
+            aug_gen = augment(
+                generated.astype(jnp.float32), p_used, keys[8],
+                antialias=ada_antialias,
+            )
             gen_scores = disc.apply(params_d, aug_gen).astype(jnp.float32)
             gan = losses.lsgan_g_loss(gen_scores)
 
@@ -311,14 +337,19 @@ def make_inference_fns(config: Config, models: Models):
         w = apply_domain(s, domain)
         return gen.apply(params_g, images, w)
 
-    def one_to_many(params_g, params_m, image, rng, n_styles: int):
-        """One source image [H,W,C] -> [n_styles, H, W, C] translations."""
+    def one_to_many(params_g, params_m, image, rng, n_styles: int, theta=1.0):
+        """One source image [H,W,C] -> [n_styles, H, W, C] translations.
+
+        ``theta`` is the continuous domain coordinate (builder.py:87-90):
+        0 reproduces the source domain (zero style), 1 is the full
+        shoemark domain; intermediate values interpolate.
+        """
         latent = gen.apply(params_g, image[None], method="encode")
         latent_n = jnp.broadcast_to(latent, (n_styles, *latent.shape[1:]))
         rngs = sample_style_rngs(rng, n_styles, w_dim, n_blocks, mixing_prob)
         s = mapping.apply(params_m, rngs, n_blocks, mix_styles=False,
                           method="style_vector")
-        w = apply_domain(s, 1.0)
+        w = apply_domain(s, theta)
         return gen.apply(params_g, latent_n, w, method="decode")
 
     return translate, one_to_many

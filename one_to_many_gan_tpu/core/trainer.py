@@ -56,11 +56,16 @@ def _checkpoint_manager(config: Config):
     )
 
 
-def save_checkpoint(mgr, step: int, state: TrainState) -> None:
+def save_checkpoint(mgr, step: int, state: TrainState, *, wait: bool = True) -> None:
+    """Orbax save. ``wait=False`` returns once device buffers are read to
+    host; the disk commit proceeds asynchronously (overlapping the next
+    K-step device program). Call ``mgr.wait_until_finished()`` before
+    relying on the files."""
     import orbax.checkpoint as ocp
 
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
+    if wait:
+        mgr.wait_until_finished()
 
 
 def restore_checkpoint(mgr, state: TrainState) -> tuple[TrainState, int]:
@@ -96,11 +101,19 @@ class Trainer:
         # the log/checkpoint cadences land on call boundaries.
         import math
 
-        k = max(1, config["tpu"]["steps_per_call"])
+        k_req = max(1, config["tpu"]["steps_per_call"])
         k = math.gcd(
-            math.gcd(k, config["evaluation"]["log_interval"]),
+            math.gcd(k_req, config["evaluation"]["log_interval"]),
             config["evaluation"]["checkpoint_interval"],
         )
+        if k != k_req:
+            import warnings
+
+            warnings.warn(
+                f"tpu.steps_per_call={k_req} does not divide the log/"
+                f"checkpoint intervals; clamped to {k}",
+                stacklevel=2,
+            )
         self.steps_per_call = k
         if k > 1:
             self.step_fn = jax.jit(
@@ -124,8 +137,17 @@ class Trainer:
         batch_size = config["training"]["batch_size"]
         if dp == -1:
             dp = n_dev // sp
+        dp_req = dp
         while dp > 1 and batch_size % dp != 0:
             dp -= 1
+        if dp != dp_req:
+            import warnings
+
+            warnings.warn(
+                f"tpu.data_parallel={dp_req} does not divide batch_size="
+                f"{batch_size}; clamped to {dp}",
+                stacklevel=2,
+            )
         self.mesh = make_mesh(dp, sp) if dp * sp > 1 else None
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
@@ -172,11 +194,20 @@ class Trainer:
         # 2 batches per domain per iteration from one cycled loader).
         self.shoeprint_iter = train_iter(shoeprint_images, 1)
         self.shoemark_iter = train_iter(shoemark_images, 2)
+        # Dedicated streams for the checkpoint image grids so the training
+        # iterators are owned exclusively by the batch producer (prefetch
+        # thread) — the reference reuses its train loader for grids, which
+        # would race here.
+        self.grid_print_iter = train_iter(shoeprint_images, 3)
+        self.grid_mark_iter = train_iter(shoemark_images, 4)
+        # flip_prob matches the reference protocol: ShoeDataset.__getitem__
+        # applies RandomHorizontalFlip(p=0.5) in ALL modes, including the
+        # validation loader feeding FID/KID generation.
         self.val_iter = BatchIterator(
             shoeprint_images,
             config["evaluation"]["inference_batch_size"],
             shuffle=False,
-            flip_prob=0.0,
+            flip_prob=0.5,
             seed=seed,
             host_id=host_id,
             host_count=host_count,
@@ -193,16 +224,40 @@ class Trainer:
 
     # ------------------------------------------------------------ loop
 
-    def _next_batches(self) -> Batches:
-        b = Batches(
+    def _next_batches_np(self) -> Batches:
+        return Batches(
             d_shoeprints=next(self.shoeprint_iter),
             d_shoemarks=next(self.shoemark_iter),
             g_shoeprints=next(self.shoeprint_iter),
             g_shoemarks=next(self.shoemark_iter),
         )
+
+    def _put(self, x):
         if self.mesh is not None:
-            b = Batches(*(shard_batch(self.mesh, x) for x in b))
-        return b
+            return shard_batch(self.mesh, x)
+        return jax.device_put(x)
+
+    def _make_group(self, k_now: int) -> Batches:
+        """Assemble + transfer the batches for one jitted call (k_now fused
+        steps): [B,...] when k_now == 1, stacked [K,B,...] otherwise."""
+        if k_now == 1:
+            return Batches(*(self._put(x) for x in self._next_batches_np()))
+        group = [self._next_batches_np() for _ in range(k_now)]
+        return Batches(
+            *(
+                self._put(np.stack([getattr(b, f) for b in group]))
+                for f in Batches._fields
+            )
+        )
+
+    @staticmethod
+    def _schedule(start: int, total: int, k: int) -> list[int]:
+        out = []
+        step = start
+        while step < total:
+            out.append(min(k, total - step))
+            step += out[-1]
+        return out
 
     def run(self, max_steps: int | None = None) -> TrainState:
         config = self.config
@@ -219,47 +274,63 @@ class Trainer:
         t0 = time.perf_counter()
 
         k = self.steps_per_call
+        schedule = self._schedule(self.start_step, total, k)
+
+        # Host prefetch: a producer thread assembles and device_puts the
+        # next groups while the device executes the current program.
+        depth = config["tpu"]["prefetch"]
+        if depth > 0 and schedule:
+            import queue
+            import threading
+
+            q: queue.Queue = queue.Queue(maxsize=depth)
+
+            def produce():
+                try:
+                    for k_now in schedule:
+                        q.put(self._make_group(k_now))
+                except Exception as exc:  # surface in the consumer
+                    q.put(exc)
+
+            producer = threading.Thread(target=produce, daemon=True)
+            producer.start()
+
+            def get_group(_k_now: int) -> Batches:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                return item
+        else:
+            get_group = self._make_group
+
         step = self.start_step
-        while step < total:
-            k_now = min(k, total - step)
+        for k_now in schedule:
             if profile_step and step <= profile_step < step + k_now:
                 jax.profiler.start_trace(str(run_dir / "trace"))
+            batches = get_group(k_now)
             if k_now == 1:
                 rng = jax.random.fold_in(self.loop_rng, step)
-                self.state, metrics = self.step_fn(
-                    self.state, self._next_batches(), rng
-                )
-                metric_rows = [metrics]
+                self.state, metrics = self.step_fn(self.state, batches, rng)
             else:
                 if k_now != k:  # tail smaller than the compiled inner loop
-                    tail_fn = jax.jit(
+                    fn = jax.jit(
                         make_multi_step(self.config, self.models, k_now),
                         donate_argnums=0,
                     )
                 else:
-                    tail_fn = self.step_fn
+                    fn = self.step_fn
                 keys = jnp.stack(
                     [
                         jax.random.fold_in(self.loop_rng, step + i)
                         for i in range(k_now)
                     ]
                 )
-                batch_list = [self._next_batches() for _ in range(k_now)]
-                stacked = Batches(
-                    *(
-                        jnp.stack([getattr(b, f) for b in batch_list])
-                        for f in Batches._fields
-                    )
-                )
-                self.state, metrics = tail_fn(self.state, stacked, keys)
-                metric_rows = [
-                    {name: value[i] for name, value in metrics.items()}
-                    for i in range(k_now)
-                ]
-            for row in metric_rows:
-                self.logger.append_metrics(row)
+                self.state, metrics = fn(self.state, batches, keys)
+            # Scalar [] (k=1) or stacked [K] metrics append as-is; the
+            # Logger flattens at print time with one device_get.
+            self.logger.append_metrics(metrics)
             if profile_step and step <= profile_step < step + k_now:
-                jax.block_until_ready(metric_rows[-1]["total_gen_loss"])
+                jax.block_until_ready(metrics["total_gen_loss"])
                 jax.profiler.stop_trace()
             step += k_now
 
@@ -274,6 +345,7 @@ class Trainer:
 
             if step % ckpt_interval == 0 or step == total:
                 self.checkpoint(step - 1)
+        self.ckpt_mgr.wait_until_finished()  # flush async saves
         return self.state
 
     def checkpoint(self, step: int) -> None:
@@ -285,8 +357,8 @@ class Trainer:
             self.config,
             self.models,
             self.state,
-            self.shoeprint_iter,
-            self.shoemark_iter,
+            self.grid_print_iter,
+            self.grid_mark_iter,
             k_img,
         )
         val_checkpoint(
@@ -298,7 +370,9 @@ class Trainer:
             k_val,
             real_images=self.shoemark_images,
         )
-        save_checkpoint(self.ckpt_mgr, step + 1, self.state)
+        # Async: device buffers are read here; the disk commit overlaps the
+        # next K-step device program (run() flushes at the end).
+        save_checkpoint(self.ckpt_mgr, step + 1, self.state, wait=False)
 
 
 def train(config: Config, **kwargs) -> TrainState:

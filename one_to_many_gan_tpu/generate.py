@@ -54,7 +54,7 @@ def generate(
     _, one_to_many = make_inference_fns(config, models)
     outs = np.asarray(
         jax.jit(one_to_many, static_argnums=4)(
-            params_g, state.params_m, img, jax.random.key(seed), n
+            params_g, state.params_m, img, jax.random.key(seed), n, theta
         )
     )
 

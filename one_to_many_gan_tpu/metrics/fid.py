@@ -32,12 +32,22 @@ class FeatureStats:
     features: np.ndarray  # [N, D]
 
 
-def frechet_distance(stats1: FeatureStats, stats2: FeatureStats) -> float:
-    """|mu1-mu2|^2 + tr(S1 + S2 - 2 sqrtm(S1 S2))."""
+def frechet_distance(
+    stats1: FeatureStats, stats2: FeatureStats, eps: float = 1e-6
+) -> float:
+    """|mu1-mu2|^2 + tr(S1 + S2 - 2 sqrtm(S1 S2)).
+
+    Near-singular covariances (few eval images) can make sqrtm non-finite;
+    like clean-fid/pytorch-fid, retry with an ``eps * I`` offset on both
+    covariances before giving up.
+    """
     mu1, s1 = stats1.mu, stats1.sigma
     mu2, s2 = stats2.mu, stats2.sigma
     diff = mu1 - mu2
     covmean, _ = scipy.linalg.sqrtm(s1 @ s2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.shape[0]) * eps
+        covmean, _ = scipy.linalg.sqrtm((s1 + offset) @ (s2 + offset), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * np.trace(covmean))

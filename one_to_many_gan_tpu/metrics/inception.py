@@ -10,10 +10,10 @@ so the extractor activates only when weights are provided out-of-band:
   with torch available to read it.
 
 When absent, metrics/fid.py falls back to a deterministic random-conv
-extractor (relative tracking only; documented there).
-
-TODO(follow-up round): full JAX InceptionV3 forward so provided weights
-run on-TPU end to end.
+extractor (relative tracking only; documented there). The full JAX
+InceptionV3 forward lives in metrics/inception_jax.py (numerically
+validated against a torch oracle in tests/test_metrics.py); provided
+weights run on-TPU end to end.
 """
 
 from __future__ import annotations

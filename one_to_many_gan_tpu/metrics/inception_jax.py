@@ -1,12 +1,28 @@
 """InceptionV3 pool3 feature extractor in JAX (for clean-fid-comparable FID).
 
-Functional forward of the torchvision ``inception_v3`` graph up to the
-global-average pool (2048-d features), NHWC, with BatchNorm folded into
-per-channel scale/shift at weight-load time. Weights load from a
-torchvision-format state dict (``.npz`` with the same key names, or a
-torch checkpoint when torch is importable). Without weights this module
-still provides the architecture (shape-verified in tests); metrics/fid.py
-falls back to the random-projection extractor.
+Functional forward of the InceptionV3 graph up to the global-average pool
+(2048-d features), NHWC, with BatchNorm folded into per-channel
+scale/shift at weight-load time. Weights load from a torchvision-format
+state dict (``.npz`` with the same key names, or a torch checkpoint when
+torch is importable). Without weights this module still provides the
+architecture (numerically verified against a torch oracle in
+tests/test_metrics.py); metrics/fid.py falls back to the random-projection
+extractor.
+
+Two published variants are supported (``variant`` argument):
+
+- ``"clean_fid"`` (default): the TF-ported network clean-fid/pytorch-fid
+  actually run — 3x3 average pools exclude padding from the divisor
+  (``count_include_pad=False``) and Mixed_7c's branch_pool is a MAX pool
+  (pytorch-fid's FIDInceptionE_2 patch). Use with the pt_inception TF
+  weights for numbers comparable to published clean-fid FIDs.
+- ``"torchvision"``: stock torchvision semantics — average pools divide
+  by 9 everywhere and Mixed_7c pools with avg. Use with torchvision's
+  ``inception_v3`` ImageNet weights.
+
+The eval resize is clean-fid's defining convention: PIL-exact bicubic
+with antialiasing (ops/resample.py pil_bicubic_resize) on the 0..255
+scale, then (x - 127.5) / 127.5.
 
 Reference consumer contract: clean-fid's InceptionV3 pool3 features
 (reference src/core/evaluation.py:64-69 via the clean-fid dep).
@@ -48,10 +64,23 @@ def _maxpool3s2(x):
     )
 
 
-def _avgpool3s1p1(x):
+def _maxpool3s1p1(x):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _avgpool3s1p1(x, *, count_include_pad: bool):
     summed = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
     )
+    if count_include_pad:
+        return summed / 9.0
     ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
     counts = jax.lax.reduce_window(
         ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
@@ -59,14 +88,14 @@ def _avgpool3s1p1(x):
     return summed / counts
 
 
-def _inception_a(params, prefix, x):
+def _inception_a(params, prefix, x, *, cip):
     b1 = _cbr(params, f"{prefix}.branch1x1", x)
     b5 = _cbr(params, f"{prefix}.branch5x5_1", x)
     b5 = _cbr(params, f"{prefix}.branch5x5_2", b5, padding=2)
     b3 = _cbr(params, f"{prefix}.branch3x3dbl_1", x)
     b3 = _cbr(params, f"{prefix}.branch3x3dbl_2", b3, padding=1)
     b3 = _cbr(params, f"{prefix}.branch3x3dbl_3", b3, padding=1)
-    bp = _cbr(params, f"{prefix}.branch_pool", _avgpool3s1p1(x))
+    bp = _cbr(params, f"{prefix}.branch_pool", _avgpool3s1p1(x, count_include_pad=cip))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -78,7 +107,7 @@ def _inception_b(params, prefix, x):
     return jnp.concatenate([b3, bd, _maxpool3s2(x)], axis=-1)
 
 
-def _inception_c(params, prefix, x):
+def _inception_c(params, prefix, x, *, cip):
     b1 = _cbr(params, f"{prefix}.branch1x1", x)
     b7 = _cbr(params, f"{prefix}.branch7x7_1", x)
     b7 = _cbr(params, f"{prefix}.branch7x7_2", b7, padding=(0, 3))
@@ -88,7 +117,7 @@ def _inception_c(params, prefix, x):
     bd = _cbr(params, f"{prefix}.branch7x7dbl_3", bd, padding=(0, 3))
     bd = _cbr(params, f"{prefix}.branch7x7dbl_4", bd, padding=(3, 0))
     bd = _cbr(params, f"{prefix}.branch7x7dbl_5", bd, padding=(0, 3))
-    bp = _cbr(params, f"{prefix}.branch_pool", _avgpool3s1p1(x))
+    bp = _cbr(params, f"{prefix}.branch_pool", _avgpool3s1p1(x, count_include_pad=cip))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -102,7 +131,7 @@ def _inception_d(params, prefix, x):
     return jnp.concatenate([b3, b7, _maxpool3s2(x)], axis=-1)
 
 
-def _inception_e(params, prefix, x):
+def _inception_e(params, prefix, x, *, cip, max_branch_pool=False):
     b1 = _cbr(params, f"{prefix}.branch1x1", x)
     b3 = _cbr(params, f"{prefix}.branch3x3_1", x)
     b3 = jnp.concatenate(
@@ -121,12 +150,27 @@ def _inception_e(params, prefix, x):
         ],
         axis=-1,
     )
-    bp = _cbr(params, f"{prefix}.branch_pool", _avgpool3s1p1(x))
+    pooled = (
+        _maxpool3s1p1(x)
+        if max_branch_pool
+        else _avgpool3s1p1(x, count_include_pad=cip)
+    )
+    bp = _cbr(params, f"{prefix}.branch_pool", pooled)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
-def inception_v3_features(params: dict, x: jax.Array) -> jax.Array:
-    """x: [N, 299, 299, 3] in [-1, 1] -> pool3 features [N, 2048]."""
+def inception_v3_features(
+    params: dict, x: jax.Array, variant: str = "clean_fid"
+) -> jax.Array:
+    """x: [N, 299, 299, 3] in [-1, 1] -> pool3 features [N, 2048].
+
+    ``variant``: "clean_fid" (TF-ported pooling semantics, what published
+    FID numbers use) or "torchvision" (stock torchvision inception_v3).
+    """
+    if variant not in ("clean_fid", "torchvision"):
+        msg = f"unknown inception variant {variant!r}"
+        raise ValueError(msg)
+    cip = variant == "torchvision"  # count_include_pad in 3x3 avg pools
     y = _cbr(params, "Conv2d_1a_3x3", x, stride=2)
     y = _cbr(params, "Conv2d_2a_3x3", y)
     y = _cbr(params, "Conv2d_2b_3x3", y, padding=1)
@@ -135,13 +179,16 @@ def inception_v3_features(params: dict, x: jax.Array) -> jax.Array:
     y = _cbr(params, "Conv2d_4a_3x3", y)
     y = _maxpool3s2(y)
     for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
-        y = _inception_a(params, name, y)
+        y = _inception_a(params, name, y, cip=cip)
     y = _inception_b(params, "Mixed_6a", y)
     for name in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        y = _inception_c(params, name, y)
+        y = _inception_c(params, name, y, cip=cip)
     y = _inception_d(params, "Mixed_7a", y)
-    for name in ("Mixed_7b", "Mixed_7c"):
-        y = _inception_e(params, name, y)
+    y = _inception_e(params, "Mixed_7b", y, cip=cip)
+    y = _inception_e(
+        params, "Mixed_7c", y, cip=cip,
+        max_branch_pool=(variant == "clean_fid"),
+    )
     return jnp.mean(y, axis=(1, 2))
 
 
@@ -277,18 +324,22 @@ def load_params(path: Path | str) -> dict:
     return fold_state_dict({k: v.numpy() for k, v in state.items()})
 
 
-def make_extractor(params: dict, batch: int = 32):
-    """FeatureFn over uint8 NHWC images using this JAX InceptionV3."""
-    from one_to_many_gan_tpu.ops.resample import bilinear_resize
+def make_extractor(params: dict, batch: int = 32, variant: str = "clean_fid"):
+    """FeatureFn over uint8 NHWC images using this JAX InceptionV3.
 
-    forward = jax.jit(lambda x: inception_v3_features(params, x))
+    Preprocessing follows clean-fid: PIL-exact bicubic antialiased resize
+    to 299x299 on the 0..255 scale, then (x - 127.5) / 127.5.
+    """
+    from one_to_many_gan_tpu.ops.resample import pil_bicubic_resize
+
+    forward = jax.jit(lambda x: inception_v3_features(params, x, variant))
 
     def extract(images_u8: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(images_u8.astype(np.float32) / 255.0)
+        x = jnp.asarray(images_u8.astype(np.float32))
         if x.shape[-1] == 1:
             x = jnp.tile(x, (1, 1, 1, 3))
-        x = bilinear_resize(x, 299, 299)
-        x = (x - 0.5) / 0.5
+        x = pil_bicubic_resize(x, 299, 299)
+        x = (x - 127.5) / 127.5
         out = []
         for i in range(0, x.shape[0], batch):
             out.append(np.asarray(forward(x[i : i + batch])))

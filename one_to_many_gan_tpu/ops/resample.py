@@ -131,6 +131,55 @@ def bilinear_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return _resize_axis_linear(x, out_w, axis=2)
 
 
+# --------------------------------------------------- PIL-convention bicubic
+
+
+def _pil_bicubic_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """PIL's bicubic (Keys, a=-0.5), support 2."""
+    t = np.abs(t)
+    return np.where(
+        t < 1.0,
+        ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+        np.where(t < 2.0, a * (((t - 5.0) * t + 8.0) * t - 4.0), 0.0),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _pil_bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] matrix reproducing PIL ``Image.resize`` with
+    ``Resampling.BICUBIC`` exactly (including its antialiasing: the filter
+    support scales with the reduction ratio, and weights are normalized).
+
+    This is clean-fid's defining resize convention (its "clean" resizer is
+    PIL bicubic on float32 channels), rebuilt from the published PIL
+    ``precompute_coeffs`` algorithm.
+    """
+    a = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        taps = np.arange(xmin, xmax)
+        w = _pil_bicubic_kernel((taps - center + 0.5) / filterscale)
+        a[i, xmin:xmax] = w / w.sum()
+    return a.astype(np.float32)
+
+
+def pil_bicubic_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """PIL-exact bicubic antialiased resize of NHWC images (two MXU
+    matmuls; the clean-fid 299x299 eval resize)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    mh = jnp.asarray(_pil_bicubic_matrix(h, out_h), dtype=x.dtype)
+    mw = jnp.asarray(_pil_bicubic_matrix(w, out_w), dtype=x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("ow,bhwc->bhoc", mw, y)
+
+
 # ------------------------------------------------------------- 2x fast paths
 
 

@@ -17,8 +17,13 @@ def tiny_config(
     buffer_size: int = 8,
     root: str = "/tmp/otm_preset",
     tpu: dict | None = None,
+    **section_overrides: dict,
 ) -> Config:
-    """Build a complete in-memory config without touching disk."""
+    """Build a complete in-memory config without touching disk.
+
+    Extra keyword args named after config sections (``training=...``,
+    ``evaluation=...``, ...) merge key-by-key into that section.
+    """
     config = {
         "training": {
             "batch_size": batch_size,
@@ -68,5 +73,14 @@ def tiny_config(
         },
         "tpu": {**_TPU_DEFAULTS, **(tpu or {})},
     }
+    for section, overrides in section_overrides.items():
+        if section not in config:
+            msg = f"unknown config section {section!r}"
+            raise KeyError(msg)
+        config[section].update(overrides)
+    # directory values may arrive as strings from overrides
+    config["training"]["checkpoint_directory"] = Path(
+        config["training"]["checkpoint_directory"]
+    )
     _validate(config)
     return config  # type: ignore[return-value]

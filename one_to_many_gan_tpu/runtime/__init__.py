@@ -2,27 +2,49 @@
 
 The C++ runtime provides the host-side hot paths of the data pipeline:
 threaded JPEG/PNG decode + bilinear resize into a packed uint8 tensor, and
-batch gather/flip/normalize (see loader.cpp). Python falls back to the
-PIL/numpy implementations when the shared library hasn't been built
-(``make -C one_to_many_gan_tpu/runtime``).
+batch gather/flip/normalize (see loader.cpp). The shared library is NOT
+checked into version control; it is built on demand from loader.cpp the
+first time it's needed (``make -C one_to_many_gan_tpu/runtime``). Python
+falls back to the PIL/numpy implementations when the build isn't possible.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from pathlib import Path
 
 import numpy as np
 
 _LIB_PATH = Path(__file__).parent / "libotm_runtime.so"
 _lib = None
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Best-effort on-demand build of the shared library from loader.cpp."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    try:
+        subprocess.run(
+            ["make", "-C", str(Path(__file__).parent)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass  # no toolchain / build failure -> caller falls back to Python
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not _LIB_PATH.exists():
+        _try_build()
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))

@@ -34,3 +34,15 @@ def test_generate_from_checkpoint(tmp_path):
     assert imgs.shape == (5, 32, 32)
     # one-to-MANY: different styles give different outputs
     assert any(not np.array_equal(imgs[0], imgs[i]) for i in range(1, 5))
+
+    # --theta is wired through: theta=0 zeroes the style (builder.py:87-90),
+    # so every output of the sweep collapses to the SAME style-free decode
+    # and differs from the theta=1 outputs.
+    paths0 = generate(
+        str(config_path), str(source), n=3, out_dir=str(tmp_path / "gen0"),
+        seed=3, theta=0.0,
+    )
+    imgs0 = np.stack([np.asarray(Image.open(p)) for p in paths0])
+    assert np.array_equal(imgs0[0], imgs0[1])
+    assert np.array_equal(imgs0[0], imgs0[2])
+    assert not np.array_equal(imgs0[0], imgs[0])

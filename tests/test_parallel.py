@@ -86,14 +86,38 @@ def test_dp_step_matches_single_device(setup):
         )
 
 
-def test_dp_plus_spatial_step_compiles_and_runs(setup):
+def test_dp_plus_spatial_step_matches_single_device(setup):
+    """The 4x2 data x spatial mesh must compute the SAME step as one
+    device — height-sharded convs (halo exchanges), global-batch stats and
+    the buffer all included. Equality, not finiteness (VERDICT r1 #5)."""
     config, models, state, step = setup
+    batches = _batches(config, seed=1)
+    rng = jax.random.key(6)
+
+    s1, m1 = jax.jit(step)(state, Batches(*map(jnp.asarray, batches)), rng)
+
     mesh = make_mesh(4, 2)
     state_r = replicate(mesh, state)
-    batches_r = Batches(*(shard_batch(mesh, b) for b in _batches(config, seed=1)))
-    s2, m2 = jax.jit(step)(state_r, batches_r, jax.random.key(6))
-    for k, v in m2.items():
-        assert np.isfinite(float(v)), f"{k} not finite under dp+sp"
+    batches_r = Batches(*(shard_batch(mesh, b) for b in batches))
+    s2, m2 = jax.jit(step)(state_r, batches_r, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged under dp+spatial",
+        )
+    # Updated params must agree (same tolerance rationale as the DP test).
+    lr = config["optimisation"]["learning_rate"]
+    for name in ("params_g", "params_d", "params_m", "params_s"):
+        for a, b in zip(
+            jax.tree.leaves(getattr(s1, name)),
+            jax.tree.leaves(getattr(s2, name)),
+            strict=True,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5 * lr,
+                err_msg=f"{name} diverged under dp+spatial",
+            )
     assert int(s2.step) == 1
 
 

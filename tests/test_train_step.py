@@ -125,6 +125,45 @@ def test_reconstruction_theta0_path(setup):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
 
 
+def test_r1_lazy_regularization(tmp_path):
+    """R1 fires only on steps where step % r1_interval == 0: the off-step D
+    update must equal the r1_gamma=0 update exactly (the lax.cond branch is
+    all-zeros), while the on-step update must differ."""
+    cfg_r1 = load_config(
+        write_tiny_config(
+            tmp_path, tpu_section="\n[tpu]\nr1_gamma = 10.0\nr1_interval = 2\n"
+        )
+    )
+    no_dir = tmp_path / "no"
+    no_dir.mkdir()
+    cfg_no = load_config(write_tiny_config(no_dir, tpu_section="\n[tpu]\n"))
+    models = Models(cfg_r1)
+    state = init_train_state(cfg_r1, models, jax.random.key(0))
+    step_r1 = jax.jit(make_train_step(cfg_r1, models))
+    step_no = jax.jit(make_train_step(cfg_no, models))
+    b = _batches(cfg_r1)
+
+    def d_leaves(s):
+        return [np.asarray(x) for x in jax.tree.leaves(s.params_d)]
+
+    # step 0: 0 % 2 == 0 -> R1 applied -> params diverge from the no-R1 run
+    s_on, m_on = step_r1(state, b, jax.random.key(1))
+    s_off, m_off = step_no(state, b, jax.random.key(1))
+    assert any(
+        not np.array_equal(a, c)
+        for a, c in zip(d_leaves(s_on), d_leaves(s_off), strict=True)
+    )
+    assert float(m_on["disc_loss"]) > float(m_off["disc_loss"])
+
+    # step 1: 1 % 2 != 0 -> R1 skipped -> identical D update to no-R1
+    state1 = state.replace(step=jnp.ones((), jnp.int32))
+    s_on, m_on = step_r1(state1, b, jax.random.key(1))
+    s_off, m_off = step_no(state1, b, jax.random.key(1))
+    for a, c in zip(d_leaves(s_on), d_leaves(s_off), strict=True):
+        np.testing.assert_array_equal(a, c)
+    assert float(m_on["disc_loss"]) == float(m_off["disc_loss"])
+
+
 def test_ema_updates_when_enabled(tmp_path):
     config = load_config(
         write_tiny_config(tmp_path, tpu_section="\n[tpu]\nema_decay = 0.99\n")
