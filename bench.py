@@ -41,7 +41,11 @@ REFERENCE_GPU_IMG_PER_SEC = 20.0  # documented estimate; see module docstring
 BATCH = int(os.environ.get("OTM_BENCH_BATCH", "16"))
 IMAGE_SIZE = int(os.environ.get("OTM_BENCH_SIZE", "256"))
 PRECISION = os.environ.get("OTM_BENCH_PRECISION", "bfloat16")
-REMAT = os.environ.get("OTM_BENCH_REMAT", "0") == "1"
+# remat mode: none|conv|full ("0"/"1" accepted for back-compat)
+REMAT = {"0": "none", "1": "full"}.get(
+    os.environ.get("OTM_BENCH_REMAT", "none"),
+    os.environ.get("OTM_BENCH_REMAT", "none"),
+)
 WARMUP_STEPS = 3
 MEASURE_STEPS = int(os.environ.get("OTM_BENCH_STEPS", "20"))
 

@@ -287,8 +287,12 @@ def warp_bilinear(
     else:
         width_x = width_y = jnp.ones((b,), jnp.float32)
 
-    # Row chunk size: keep the [chunk, W, H'] tent intermediate ~<=16MB.
-    budget = 4 * 2**20  # elements
+    # Row chunk size: keep the per-image [chunk, W, H'] tent intermediate
+    # ~<=16M elements (the whole image at 256²: fewest, largest matmuls —
+    # batching the contraction across images instead was measured SLOWER,
+    # 7.5 -> 12.4 ms at b16, because a [B]-batched matmul splits the MXU
+    # M-dimension into B small ops).
+    budget = 16 * 2**20  # elements
     chunk = max(1, min(h, budget // (w * h)))
     while h % chunk:
         chunk -= 1
@@ -301,6 +305,12 @@ def warp_bilinear(
     r = 2 * int(_AA_MAX_WIDTH) if antialias else 0
     xs_idx = jnp.arange(-r, w + r, dtype=jnp.float32)
     ys_idx = jnp.arange(-r, h + r, dtype=jnp.float32)
+
+    # Contraction dtype follows the images (bf16 under the mixed-precision
+    # policy: halves the [chunk,W,H'] HBM intermediate). Tent weights are
+    # always COMPUTED in f32 — pixel coordinates up to H don't fit bf16 —
+    # then cast for the contraction; accumulation stays f32 on the MXU.
+    cdtype = images.dtype
 
     def warp_one(args):
         img, sx_i, sy_i, wx_w, wy_w = args  # [H',W',C], [H,W], [H,W], [], []
@@ -321,13 +331,25 @@ def warp_bilinear(
             if r:
                 wx = wx[..., r : r + w]  # drop out-of-frame taps: zero content
                 wy = wy[..., r : r + h]
-            # inner contraction over x': [chunk, W, H', C]  (MXU)
+            # inner contraction over x': [chunk, W, H', C]  (one big-M MXU
+            # matmul per chunk)
             g = jnp.einsum(
-                "rxp,ypc->rxyc", wx, img, preferred_element_type=jnp.float32
+                "rxp,ypc->rxyc",
+                wx.astype(cdtype),
+                img,
+                preferred_element_type=cdtype,
             )
             # outer: elementwise multiply + reduce over y'   (VPU)
-            return jnp.einsum("rxy,rxyc->rxc", wy, g)
+            out = jnp.einsum(
+                "rxy,rxyc->rxc",
+                wy.astype(cdtype),
+                g,
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(cdtype)
 
+        if n_chunks == 1:
+            return do_chunk((sx_i, sy_i))
         sx_r = sx_i.reshape(n_chunks, chunk, w)
         sy_r = sy_i.reshape(n_chunks, chunk, w)
         out = jax.lax.map(do_chunk, (sx_r, sy_r))  # [n_chunks, chunk, W, C]

@@ -82,9 +82,18 @@ class TpuConfig(TypedDict):
     # lazy-regularization interval in steps.
     r1_gamma: float
     r1_interval: int
-    # Rematerialize generator passes in the G loss backward (trade ~30%
-    # recompute for a large activation-memory cut; enables big batches).
-    remat: bool
+    # Activation rematerialization in the loss backwards. Modes:
+    #   "none" — store every activation (fastest per step, most HBM);
+    #   "conv" — save ONLY conv outputs (checkpoint_name-tagged); the cheap
+    #            elementwise chains between convs (instance norm, ReLU, pad,
+    #            FIR resamples) are recomputed in the backward. Cuts the
+    #            activation footprint severalfold for a few % recompute —
+    #            the knob that unlocks larger (faster, see BASELINE.md)
+    #            batches on a 16GB chip;
+    #   "full" — jax.checkpoint every model pass (max memory saving,
+    #            ~full forward recompute).
+    # Booleans are accepted for back-compat: False -> "none", True -> "full".
+    remat: str
     # Fused steps executed per jitted call (lax.scan inner loop). Amortizes
     # host dispatch overhead; clamped to divide the log/checkpoint
     # intervals so cadences are preserved.
@@ -124,7 +133,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "ema_decay": 0.0,
     "r1_gamma": 0.0,
     "r1_interval": 16,
-    "remat": False,
+    "remat": "none",
     "steps_per_call": 1,
     "resume": True,
     "native_loader": False,
@@ -157,6 +166,13 @@ def _validate(config: dict[str, Any]) -> None:
         raise ValueError(msg)
     if config["tpu"]["precision"] not in ("float32", "bfloat16"):
         msg = f"tpu.precision must be float32|bfloat16, got {config['tpu']['precision']}"
+        raise ValueError(msg)
+    remat = config["tpu"]["remat"]
+    if isinstance(remat, bool):  # back-compat with the round-1 boolean knob
+        remat = "full" if remat else "none"
+        config["tpu"]["remat"] = remat
+    if remat not in ("none", "conv", "full"):
+        msg = f"tpu.remat must be none|conv|full (or bool), got {remat!r}"
         raise ValueError(msg)
 
 

@@ -68,6 +68,13 @@ def make_train_step(config: Config, models: Models):
     r1_gamma = tpu_cfg["r1_gamma"]
     r1_interval = tpu_cfg["r1_interval"]
     ada_antialias = tpu_cfg["ada_antialias"]
+    # ADA runs in the activation dtype: its output only ever feeds the
+    # (bf16) discriminator, and its warp contraction halves its HBM
+    # intermediates under bf16 (augment/pipeline.py; tent weights and
+    # accumulation stay f32 inside).
+    aug_dtype = (
+        jnp.bfloat16 if tpu_cfg["precision"] == "bfloat16" else jnp.float32
+    )
 
     gen, disc, mapping, extractor = (
         models.generator,
@@ -76,26 +83,34 @@ def make_train_step(config: Config, models: Models):
         models.extractor,
     )
 
-    # Optional rematerialization: recompute generator passes in the G-loss
-    # backward instead of storing every activation (tpu.remat). The G loss
-    # traverses the decoder 5x + encoder + extractor 2x; remat cuts its
-    # activation footprint by ~the number of passes.
-    if tpu_cfg["remat"]:
-        gen_encode = jax.checkpoint(
-            lambda p, img: gen.apply(p, img, method="encode")
-        )
-        gen_decode = jax.checkpoint(
-            lambda p, z, ws: gen.apply(p, z, ws, method="decode")
-        )
-        gen_extract = jax.checkpoint(
-            lambda p, z, ws: gen.apply(p, z, ws, method="extract")
-        )
-        ext_apply = jax.checkpoint(lambda p, img: extractor.apply(p, img))
+    # Optional rematerialization (tpu.remat, see config.py):
+    #   "full" — jax.checkpoint every model pass (recompute whole forwards);
+    #   "conv" — save only checkpoint_name-tagged conv outputs and recompute
+    #            the cheap elementwise chains (IN, ReLU, pad, FIR resamples)
+    #            between them in the backward. The G loss traverses the
+    #            decoder 5x + encoder + extractor 2x; "conv" cuts its
+    #            activation footprint severalfold for a few % extra
+    #            bandwidth-bound FLOPs — the knob that unlocks the larger,
+    #            MXU-friendlier batches measured in BASELINE.md.
+    remat_mode = tpu_cfg["remat"]
+    if remat_mode == "full":
+        ckpt = jax.checkpoint
+    elif remat_mode == "conv":
+        from jax.ad_checkpoint import checkpoint_policies
+
+        def ckpt(f):
+            return jax.checkpoint(
+                f, policy=checkpoint_policies.save_only_these_names("conv_out")
+            )
     else:
-        gen_encode = lambda p, img: gen.apply(p, img, method="encode")  # noqa: E731
-        gen_decode = lambda p, z, ws: gen.apply(p, z, ws, method="decode")  # noqa: E731
-        gen_extract = lambda p, z, ws: gen.apply(p, z, ws, method="extract")  # noqa: E731
-        ext_apply = lambda p, img: extractor.apply(p, img)  # noqa: E731
+        def ckpt(f):
+            return f
+
+    gen_encode = ckpt(lambda p, img: gen.apply(p, img, method="encode"))
+    gen_decode = ckpt(lambda p, z, ws: gen.apply(p, z, ws, method="decode"))
+    gen_extract = ckpt(lambda p, z, ws: gen.apply(p, z, ws, method="extract"))
+    ext_apply = ckpt(lambda p, img: extractor.apply(p, img))
+    disc_apply = ckpt(lambda p, img: disc.apply(p, img))
 
     def sample_w(params_m, rng, batch, domain, *, mix=True):
         rngs = sample_style_rngs(rng, batch, w_dim, n_blocks, mixing_prob)
@@ -115,14 +130,25 @@ def make_train_step(config: Config, models: Models):
         fakes = gen.apply(state.params_g, batches.d_shoeprints, w_d)
         fakes = jax.lax.stop_gradient(fakes.astype(jnp.float32))
         buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1])
-        aug_fake = augment(buffered, p_used, keys[2], antialias=ada_antialias)
+        aug_fake = augment(
+            buffered.astype(aug_dtype), p_used, keys[2], antialias=ada_antialias
+        )
         aug_real = augment(
-            batches.d_shoemarks, p_used, keys[3], antialias=ada_antialias
+            batches.d_shoemarks.astype(aug_dtype),
+            p_used,
+            keys[3],
+            antialias=ada_antialias,
         )
 
         def d_loss_fn(params_d):
-            fake_scores = disc.apply(params_d, aug_fake).astype(jnp.float32)
-            real_scores = disc.apply(params_d, aug_real).astype(jnp.float32)
+            # One batched D pass over [fake; real]: the discriminator has no
+            # cross-batch ops (per-sample IN, convs), so scoring the
+            # concatenation is per-sample identical to two passes
+            # (training.py:107-108) while doubling the MXU batch.
+            scores = disc_apply(
+                params_d, jnp.concatenate([aug_fake, aug_real], axis=0)
+            ).astype(jnp.float32)
+            fake_scores, real_scores = jnp.split(scores, 2, axis=0)
             loss = losses.lsgan_d_loss(real_scores, fake_scores)
             return loss, (real_scores, fake_scores)
 
@@ -207,10 +233,10 @@ def make_train_step(config: Config, models: Models):
 
             # GAN: augment the translations, score with the UPDATED D.
             aug_gen = augment(
-                generated.astype(jnp.float32), p_used, keys[8],
+                generated.astype(aug_dtype), p_used, keys[8],
                 antialias=ada_antialias,
             )
-            gen_scores = disc.apply(params_d, aug_gen).astype(jnp.float32)
+            gen_scores = disc_apply(params_d, aug_gen).astype(jnp.float32)
             gan = losses.lsgan_g_loss(gen_scores)
 
             # Style cycle: re-extract the style from the fakes.

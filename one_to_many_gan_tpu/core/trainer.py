@@ -115,14 +115,7 @@ class Trainer:
                 stacklevel=2,
             )
         self.steps_per_call = k
-        if k > 1:
-            self.step_fn = jax.jit(
-                make_multi_step(config, self.models, k), donate_argnums=0
-            )
-        else:
-            self.step_fn = jax.jit(
-                make_train_step(config, self.models), donate_argnums=0
-            )
+        self.step_fn = self._jit_step(k)
 
         seed = config["training"]["random_seed"]
         self.base_rng = jax.random.key(seed)
@@ -178,7 +171,9 @@ class Trainer:
         host_count = jax.process_count()
         batch = config["training"]["batch_size"]
 
-        def train_iter(images, offset):
+        def train_iter(images, offset, *, as_float=False):
+            # Training batches stay uint8 across the transfer; the jitted
+            # step normalizes on device (_jit_step).
             return BatchIterator(
                 images,
                 batch,
@@ -188,6 +183,7 @@ class Trainer:
                 host_id=host_id,
                 host_count=host_count,
                 native=native,
+                as_float=as_float,
             )
 
         # Independent streams for the D and G sub-steps (the reference pulls
@@ -198,8 +194,8 @@ class Trainer:
         # iterators are owned exclusively by the batch producer (prefetch
         # thread) — the reference reuses its train loader for grids, which
         # would race here.
-        self.grid_print_iter = train_iter(shoeprint_images, 3)
-        self.grid_mark_iter = train_iter(shoemark_images, 4)
+        self.grid_print_iter = train_iter(shoeprint_images, 3, as_float=True)
+        self.grid_mark_iter = train_iter(shoemark_images, 4, as_float=True)
         # flip_prob matches the reference protocol: ShoeDataset.__getitem__
         # applies RandomHorizontalFlip(p=0.5) in ALL modes, including the
         # validation loader feeding FID/KID generation.
@@ -223,6 +219,31 @@ class Trainer:
             self.start_step = 0
 
     # ------------------------------------------------------------ loop
+
+    def _jit_step(self, k: int):
+        """Jit the K-step program behind a fused uint8 -> [-1,1] cast.
+
+        Training batches cross host->device as uint8 (4x fewer bytes than
+        float32 — significant through a tunnel / over DCN); the
+        normalization (data/pipeline.py normalize_u8) fuses into the
+        batches' first use inside the same XLA program.
+        """
+        inner = (
+            make_multi_step(self.config, self.models, k)
+            if k > 1
+            else make_train_step(self.config, self.models)
+        )
+
+        def stepper(state, batches_u8: Batches, rng):
+            batches = Batches(
+                *(
+                    x.astype(jnp.float32) / 127.5 - 1.0
+                    for x in batches_u8
+                )
+            )
+            return inner(state, batches, rng)
+
+        return jax.jit(stepper, donate_argnums=0)
 
     def _next_batches_np(self) -> Batches:
         return Batches(
@@ -261,7 +282,8 @@ class Trainer:
 
     def run(self, max_steps: int | None = None) -> TrainState:
         config = self.config
-        total = config["training"]["training_steps"]
+        final = config["training"]["training_steps"]
+        total = final
         if max_steps is not None:
             total = min(total, self.start_step + max_steps)
         log_interval = config["evaluation"]["log_interval"]
@@ -309,14 +331,12 @@ class Trainer:
                 jax.profiler.start_trace(str(run_dir / "trace"))
             batches = get_group(k_now)
             if k_now == 1:
+                fn = self.step_fn if k == 1 else self._jit_step(1)
                 rng = jax.random.fold_in(self.loop_rng, step)
-                self.state, metrics = self.step_fn(self.state, batches, rng)
+                self.state, metrics = fn(self.state, batches, rng)
             else:
                 if k_now != k:  # tail smaller than the compiled inner loop
-                    fn = jax.jit(
-                        make_multi_step(self.config, self.models, k_now),
-                        donate_argnums=0,
-                    )
+                    fn = self._jit_step(k_now)
                 else:
                     fn = self.step_fn
                 keys = jnp.stack(
@@ -343,7 +363,9 @@ class Trainer:
                 with (run_dir / "log").open("a") as f:
                     f.write(line + "\n")
 
-            if step % ckpt_interval == 0 or step == total:
+            # Full checkpoint on the cadence, plus once at the TRUE end of
+            # training (a max_steps-bounded pause is not an end).
+            if step % ckpt_interval == 0 or step == final:
                 self.checkpoint(step - 1)
         self.ckpt_mgr.wait_until_finished()  # flush async saves
         return self.state

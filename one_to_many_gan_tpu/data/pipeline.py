@@ -46,6 +46,7 @@ class BatchIterator:
         host_id: int = 0,
         host_count: int = 1,
         native: bool = False,
+        as_float: bool = True,
     ):
         if images.ndim != 4:
             msg = f"expected [N,H,W,C], got {images.shape}"
@@ -58,6 +59,11 @@ class BatchIterator:
                 self.native = False
         self.images = images
         self.batch_size = batch_size
+        # as_float=False returns flipped uint8 batches: the device transfer
+        # is then 4x smaller (the [-1,1] normalization runs fused inside the
+        # consumer's jitted program) — this matters through a host<->device
+        # tunnel and on DCN-attached hosts.
+        self.as_float = as_float
         self.shuffle = shuffle
         self.flip_prob = flip_prob
         self.host_id = host_id
@@ -96,7 +102,9 @@ class BatchIterator:
             if self.flip_prob > 0
             else np.zeros(len(idx), dtype=bool)
         )
-        if self.native:
+        if self.native and self.as_float:
+            # (the C++ assembler emits normalized float32; uint8 batches
+            # take the numpy path below — a flipped uint8 gather is cheap)
             from one_to_many_gan_tpu import runtime
 
             return runtime.assemble_batch(self.images, idx, flips)
@@ -104,4 +112,6 @@ class BatchIterator:
         if flips.any():
             batch = batch.copy()
             batch[flips] = batch[flips, :, ::-1]
+        if not self.as_float:
+            return batch
         return normalize_u8(batch)

@@ -31,6 +31,7 @@ import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from one_to_many_gan_tpu.ops.equalized import EqualizedLinear, _pad2d
 
@@ -98,4 +99,5 @@ class ModulatedConv(nn.Module):
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
             y = y + bias.astype(self.dtype)
-        return y
+        # Save point for the tpu.remat = "conv" policy (see equalized.py).
+        return checkpoint_name(y, "conv_out")

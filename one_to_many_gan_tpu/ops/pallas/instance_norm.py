@@ -11,9 +11,12 @@ optional ReLU fuse into the write.
 Numerics: biased variance via E[x^2] - E[x]^2 with float32 accumulation,
 eps inside rsqrt — matching ops/norm.py's bf16 fast path.
 
-Forward-only: under ``jax.grad`` the caller's fallback (ops/norm.py) is
-used instead — see ``instance_norm_auto`` in ops/norm.py. A custom-VJP
-backward kernel is a planned follow-up.
+Forward-only and NOT wired into the model path: the models call
+ops/norm.py's ``instance_norm`` (whose bf16 fast path XLA already fuses
+to ~2 reads + 1 write). Wiring this kernel in — with a custom-VJP
+backward — would save ~1 HBM pass per IN site, measured at ~1-2% of the
+fused step; kept as an exercised-but-unwired optimization (see
+tests/test_pallas_kernels.py) until it clears that bar.
 """
 
 from __future__ import annotations

@@ -85,17 +85,42 @@ def main():
     chain_time("StyleExtractor fwd bf16", e_fwd, x)
     chain_time("augment fwd", lambda z: augment(z, 0.5, jax.random.key(0)), x)
 
-    # full fused step chained via state donation inside scan is awkward;
-    # chain by feeding metrics back into the batch instead
+    def d_fwd_bwd_2b(z):
+        z2 = jnp.concatenate([z, z], axis=0)
+        g = jax.grad(
+            lambda pp: jnp.sum(disc.apply(pp, z2).astype(jnp.float32))
+        )(state.params_d)
+        return z + 1e-12 * jnp.mean(jax.tree.leaves(g)[0])
+
+    chain_time("D fwd+bwd bf16 @2B (fused fake+real)", d_fwd_bwd_2b, x)
+
+    def g_fwd_bwd_3b(z):
+        z3 = jnp.concatenate([z, z, z], axis=0)
+        w3 = jnp.concatenate([w, w, w], axis=1)
+        g = jax.grad(
+            lambda pp: jnp.sum(gen.apply(pp, z3, w3).astype(jnp.float32))
+        )(state.params_g)
+        return z + 1e-12 * jnp.mean(jax.tree.leaves(g)[0])
+
+    chain_time("G fwd+bwd bf16 @3B (fused-decode shape)", g_fwd_bwd_3b, x, n=5)
+
+    # Full fused step: thread BOTH metrics and an updated-param scalar back
+    # into the chain, else XLA dead-code-eliminates the whole backward +
+    # optimizer half of the program (grads feed only the state update).
     step = make_train_step(config, models)
-    batches = Batches(x, x, x, x)
 
     def full_step(z):
         b = Batches(z, z, z, z)
-        _, metrics = step(state, b, jax.random.key(0))
-        return z + 1e-12 * metrics["total_gen_loss"]
+        new_state, metrics = step(state, b, jax.random.key(0))
+        touch = jax.tree.leaves(new_state.params_g)[0].ravel()[0]
+        touch += jax.tree.leaves(new_state.params_d)[0].ravel()[0]
+        touch += jax.tree.leaves(new_state.params_m)[0].ravel()[0]
+        touch += jax.tree.leaves(new_state.params_s)[0].ravel()[0]
+        touch += jax.tree.leaves(new_state.buffer)[0].ravel()[0].astype(jnp.float32)
+        touch += new_state.ada.p
+        return z + 1e-12 * (metrics["total_gen_loss"] + touch)
 
-    chain_time("FULL fused step (no state update chain)", full_step, x, n=5)
+    chain_time("FULL fused step (fwd+bwd+opt)", full_step, x, n=5)
 
 
 if __name__ == "__main__":

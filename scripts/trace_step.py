@@ -1,0 +1,139 @@
+"""Capture a jax.profiler trace of the fused train step and print the
+op-level time breakdown (the ground truth behind BASELINE.md's ceiling
+analysis — no more inferring from chained microbenchmarks).
+
+Parses the .xplane.pb with tensorboard_plugin_profile's vendored protobuf:
+aggregates TPU-device plane events by name, prints the top ops and a
+category rollup (conv fwd/bwd, matmul/einsum, fusions = elementwise+IN,
+copies/transposes, dynamic-update = buffer, misc).
+
+Usage: python scripts/trace_step.py [batch] [size] [steps_per_trace]
+"""
+
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+TRACE_DIR = Path("/tmp/otm_trace")
+
+
+def capture(batch: int, size: int, k: int) -> None:
+    from one_to_many_gan_tpu.core.state import Models, init_train_state
+    from one_to_many_gan_tpu.core.train_step import Batches, make_multi_step
+    from one_to_many_gan_tpu.presets import tiny_config
+
+    config = tiny_config(
+        (size, size), batch, min_latent=64, tpu={"precision": "bfloat16"}
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    step = jax.jit(make_multi_step(config, models, k))
+    rng = np.random.default_rng(0)
+
+    def mk():
+        return jax.device_put(
+            (rng.random((k, batch, size, size, 1)) * 2 - 1).astype(np.float32)
+        )
+
+    batches = Batches(mk(), mk(), mk(), mk())
+    keys = jax.random.split(jax.random.key(9), k)
+    # compile + warm
+    _, metrics = step(state, batches, keys)
+    float(metrics["total_gen_loss"][-1])
+
+    jax.profiler.start_trace(str(TRACE_DIR))
+    _, metrics = step(state, batches, keys)
+    float(metrics["total_gen_loss"][-1])  # host read = real sync
+    jax.profiler.stop_trace()
+
+
+def parse(k: int) -> None:
+    import gzip
+    import json
+
+    paths = sorted(TRACE_DIR.glob("**/*.trace.json.gz"))
+    if not paths:
+        print("no trace found")
+        return
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in e["args"].get("name", "")
+    }
+    op_tids = {
+        (e["pid"], e["tid"])
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["args"].get("name") == "XLA Ops"
+        and e["pid"] in device_pids
+    }
+
+    durations: dict[str, float] = defaultdict(float)
+    counts: dict[str, int] = defaultdict(int)
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        name = e.get("name", "?")
+        durations[name] += e.get("dur", 0) / 1e3  # us -> ms
+        counts[name] += 1
+    if not durations:
+        print("no device op events found; pids:", device_pids)
+        return
+
+    total = sum(durations.values())
+    print(f"total device op time: {total:.1f} ms over {k} steps "
+          f"({total / k:.1f} ms/step)\n")
+
+    def category(name: str) -> str:
+        n = name.lower()
+        if "convolution" in n or "conv" in n:
+            return "conv"
+        if "dot" in n or "einsum" in n:
+            return "matmul"
+        if "dynamic-update" in n or "dynamic_update" in n:
+            return "dynamic-update (buffer)"
+        if "copy" in n or "transpose" in n or "bitcast" in n:
+            return "copy/relayout"
+        if "all-reduce" in n or "reduce-scatter" in n:
+            return "collective"
+        if "fusion" in n:
+            return "fusion (elementwise/IN/reduce)"
+        return "other"
+
+    cats: dict[str, float] = defaultdict(float)
+    for name, d in durations.items():
+        cats[category(name)] += d
+    print("by category (ms/step):")
+    for cat, d in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:34s} {d / k:8.2f}  ({100 * d / total:4.1f}%)")
+
+    print("\ntop 45 ops (ms/step):")
+    for name, d in sorted(durations.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"  {d / k:8.3f}  x{counts[name] // k:<4d} {name[:110]}")
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    import shutil
+
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    capture(batch, size, k)
+    parse(k)

@@ -70,3 +70,19 @@ def test_bf16_forward_close_to_f32(setup, tmp_path):
     # tanh output in [-1,1]: bf16 conv accumulation error stays small
     diff = np.abs(np.asarray(out_bf, np.float32) - np.asarray(out_f32))
     assert diff.mean() < 0.05
+
+
+def test_bf16_augment_close_to_f32():
+    """The ADA pipeline under bf16 inputs tracks the f32 path within bf16
+    tolerance (tent weights/accumulation stay f32 internally)."""
+    from one_to_many_gan_tpu.augment import augment
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.random((4, 32, 32, 1)) * 2 - 1).astype(np.float32))
+    key = jax.random.key(5)
+    y32 = augment(x, 0.7, key)
+    y16 = augment(x.astype(jnp.bfloat16), 0.7, key)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y16, np.float32), np.asarray(y32), atol=0.04
+    )

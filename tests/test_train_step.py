@@ -176,3 +176,46 @@ def test_ema_updates_when_enabled(tmp_path):
     a = jax.tree.leaves(new_state.ema_params_g)[0]
     b = jax.tree.leaves(state.ema_params_g)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode", ["conv", "full"])
+def test_remat_modes_match_no_remat(tmp_path, mode):
+    """Rematerialization must not change the math — only the schedule.
+
+    "conv" saves only checkpoint_name-tagged conv outputs; "full"
+    checkpoints whole model passes. Both recompute the same primal ops in
+    the same order inside one jit, so updated params and metrics must
+    match the no-remat step exactly (XLA recompute is deterministic).
+    """
+    (tmp_path / mode).mkdir()
+    (tmp_path / "no").mkdir()
+    cfg_r = load_config(
+        write_tiny_config(tmp_path / mode, tpu_section=f'\n[tpu]\nremat = "{mode}"\n')
+    )
+    cfg_no = load_config(write_tiny_config(tmp_path / "no", tpu_section="\n[tpu]\n"))
+    models = Models(cfg_r)
+    state = init_train_state(cfg_r, models, jax.random.key(0))
+    b = _batches(cfg_r)
+    s_r, m_r = jax.jit(make_train_step(cfg_r, models))(state, b, jax.random.key(1))
+    s_no, m_no = jax.jit(make_train_step(cfg_no, models))(state, b, jax.random.key(1))
+    for name in m_no:
+        np.testing.assert_allclose(
+            np.asarray(m_r[name]), np.asarray(m_no[name]), rtol=2e-5, atol=1e-6,
+            err_msg=name,
+        )
+    for a, c in zip(
+        jax.tree.leaves(s_r.params_g), jax.tree.leaves(s_no.params_g), strict=True
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5, atol=1e-6)
+
+
+def test_remat_bool_compat(tmp_path):
+    """Round-1 boolean remat values still load (False->none, True->full)."""
+    cfg = load_config(
+        write_tiny_config(tmp_path, tpu_section="\n[tpu]\nremat = true\n")
+    )
+    assert cfg["tpu"]["remat"] == "full"
+    cfg2 = load_config(
+        write_tiny_config(tmp_path, tpu_section="\n[tpu]\nremat = false\n")
+    )
+    assert cfg2["tpu"]["remat"] == "none"
