@@ -95,46 +95,23 @@ class EqualizedConv(nn.Module):
         c = 1.0 / math.sqrt(in_features * kh * kw)
         w_eff = weight.astype(self.dtype) * c
         x = _pad2d(x.astype(self.dtype), self.padding, self.pad_mode)
-        if self.features == 1 and kh * kw > 1 and self.stride == 1:
-            # Tap-basis formulation for single-output-channel convs. A
-            # direct KxK Cin->1 conv pays the MXU's 128-lane output padding
-            # on every spatial position (the generator's 7x7 -> 1 output
-            # conv measured 1.5 effective TFLOPs / 13.5 ms at 3x batch —
-            # ~8% of the whole train step; zero-padding the output channels
-            # is folded away by XLA's slice(conv) simplifier). Instead:
-            #   1) a 1x1 conv Cin -> kh*kw "tap" channels (dense MXU matmul
-            #      with a well-utilized output dimension), then
-            #   2) the KxK spatial accumulation as a sum of kh*kw statically
-            #      shifted slices of the tap tensor (one fused VPU pass;
-            #      each tap element is read exactly once).
-            # Same multiplies as the direct conv, reassociated; f32 tap sum.
-            w_taps = jnp.moveaxis(w_eff.reshape(kh * kw, in_features), 0, 1)
-            z = jax.lax.conv_general_dilated(
-                x,
-                w_taps[None, None],  # [1,1,Cin,kh*kw]
-                window_strides=(1, 1),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            h_out = x.shape[1] - kh + 1
-            w_out = x.shape[2] - kw + 1
-            acc = jnp.zeros(
-                (x.shape[0], h_out, w_out), jnp.float32
-            )
-            for t in range(kh * kw):
-                ty, tx = divmod(t, kw)
-                acc = acc + z[:, ty : ty + h_out, tx : tx + w_out, t].astype(
-                    jnp.float32
-                )
-            y = acc[..., None].astype(self.dtype)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x,
-                w_eff,
-                window_strides=(self.stride, self.stride),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        # NOTE on the Cout=1 output convs (generator/discriminator heads):
+        # a KxK Cin->1 conv pays the MXU's 128-lane output padding, and two
+        # restructurings were measured IN-STEP and rejected (see
+        # BASELINE.md "round-2 negative results"): (a) zero-padding the
+        # output channels to 8 is folded away by XLA's slice(conv)
+        # simplifier; (b) a tap-basis rewrite (1x1 conv to k*k tap channels
+        # + shifted-slice sum) wins in isolation but loses ~10 ms/step
+        # in-step — the per-tap slice reads one lane of a 128-lane-padded
+        # tile, wasting ~128x read bandwidth. XLA's fused direct conv is
+        # the measured optimum here.
+        y = jax.lax.conv_general_dilated(
+            x,
+            w_eff,
+            window_strides=(self.stride, self.stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
