@@ -66,7 +66,15 @@ def main() -> None:
         (IMAGE_SIZE, IMAGE_SIZE),
         BATCH,
         min_latent=64,
-        tpu={"precision": PRECISION, "remat": REMAT},
+        tpu={
+            "precision": PRECISION,
+            "remat": REMAT,
+            # default ON: the fused VMEM warp kernel is exactness-tested
+            # against the XLA path and measured +3% end-to-end (the bench
+            # is single-chip; the kernel is gated off under spatial
+            # sharding in Trainer)
+            "ada_pallas": os.environ.get("OTM_BENCH_ADA_PALLAS", "1") == "1",
+        },
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))

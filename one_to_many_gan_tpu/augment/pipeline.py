@@ -232,7 +232,11 @@ _AA_MAX_WIDTH = 4.0
 
 
 def warp_bilinear(
-    images: jax.Array, g_inv: jax.Array, *, antialias: bool = False
+    images: jax.Array,
+    g_inv: jax.Array,
+    *,
+    antialias: bool = False,
+    pallas: bool = False,
 ) -> jax.Array:
     """Batched affine warp, NHWC, zero padding outside the frame.
 
@@ -286,6 +290,17 @@ def warp_bilinear(
         )
     else:
         width_x = width_y = jnp.ones((b,), jnp.float32)
+
+    if pallas and c == 1 and h % (8 if h <= 256 else 2) == 0:
+        # Fused VMEM kernel (ops/pallas/warp.py): same tent contraction
+        # without the HBM [chunk, W, H'] intermediate. Single-channel only;
+        # differentiable in images only (g_inv is RNG-derived here).
+        from one_to_many_gan_tpu.ops.pallas.warp import warp_pallas
+
+        out = warp_pallas(
+            images[..., 0], sx, sy, width_x, width_y, antialias
+        )
+        return out[..., None]
 
     # Row chunk size: keep the per-image [chunk, W, H'] tent intermediate
     # ~<=16M elements (the whole image at 256²: fewest, largest matmuls —
@@ -384,6 +399,7 @@ def augment(
     categories: tuple[str, ...] = ALL_CATEGORIES,
     *,
     antialias: bool = True,
+    pallas: bool = False,
 ) -> jax.Array:
     """Differentiable ADA augmentation of an NHWC image batch.
 
@@ -391,6 +407,8 @@ def augment(
     controller's output). Deterministic given ``rng``. ``antialias``
     low-pass-filters minifying geometric transforms (the published ADA
     pipeline's supersampled warp contract); see ``warp_bilinear``.
+    ``pallas`` routes the geometric warp through the fused VMEM kernel
+    (tpu.ada_pallas; single-channel images).
     """
     cats = frozenset(categories)
     b, h, w, c = images.shape
@@ -399,7 +417,7 @@ def augment(
     out = images
     if cats & {"xflip", "rotate90", "xint", "scale", "rotate", "aniso", "xfrac"}:
         g_inv = geometric_matrix(k_geom, b, h, w, p, cats)
-        out = warp_bilinear(out, g_inv, antialias=antialias)
+        out = warp_bilinear(out, g_inv, antialias=antialias, pallas=pallas)
     if cats & {"brightness", "contrast", "lumaflip", "hue", "saturation"}:
         cmat = color_matrix(k_color, b, c, p, cats)
         out = apply_color(out, cmat)

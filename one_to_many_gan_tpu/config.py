@@ -108,6 +108,10 @@ class TpuConfig(TypedDict):
     # Anti-aliased ADA warp (the published pipeline's supersampled-warp
     # behavior; see augment/pipeline.py). Disable to use plain bilinear.
     ada_antialias: bool
+    # Route the ADA geometric warp through the fused Pallas VMEM kernel
+    # (ops/pallas/warp.py; single-channel images). Same math as the XLA
+    # path without its HBM tent intermediate.
+    ada_pallas: bool
     # Host-side batch prefetch depth: a producer thread assembles and
     # device_puts the next groups of batches while the device runs the
     # current K-step program (0 disables).
@@ -139,6 +143,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "native_loader": False,
     "profile_step": 0,
     "ada_antialias": True,
+    "ada_pallas": False,
     "prefetch": 2,
 }
 

@@ -68,6 +68,7 @@ def make_train_step(config: Config, models: Models):
     r1_gamma = tpu_cfg["r1_gamma"]
     r1_interval = tpu_cfg["r1_interval"]
     ada_antialias = tpu_cfg["ada_antialias"]
+    ada_pallas = tpu_cfg["ada_pallas"]
     # ADA runs in the activation dtype: its output only ever feeds the
     # (bf16) discriminator, and its warp contraction halves its HBM
     # intermediates under bf16 (augment/pipeline.py; tent weights and
@@ -131,13 +132,15 @@ def make_train_step(config: Config, models: Models):
         fakes = jax.lax.stop_gradient(fakes.astype(jnp.float32))
         buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1])
         aug_fake = augment(
-            buffered.astype(aug_dtype), p_used, keys[2], antialias=ada_antialias
+            buffered.astype(aug_dtype), p_used, keys[2],
+            antialias=ada_antialias, pallas=ada_pallas,
         )
         aug_real = augment(
             batches.d_shoemarks.astype(aug_dtype),
             p_used,
             keys[3],
             antialias=ada_antialias,
+            pallas=ada_pallas,
         )
 
         def d_loss_fn(params_d):
@@ -234,7 +237,7 @@ def make_train_step(config: Config, models: Models):
             # GAN: augment the translations, score with the UPDATED D.
             aug_gen = augment(
                 generated.astype(aug_dtype), p_used, keys[8],
-                antialias=ada_antialias,
+                antialias=ada_antialias, pallas=ada_pallas,
             )
             gen_scores = disc_apply(params_d, aug_gen).astype(jnp.float32)
             gan = losses.lsgan_g_loss(gen_scores)

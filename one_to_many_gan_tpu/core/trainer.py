@@ -115,6 +115,18 @@ class Trainer:
                 stacklevel=2,
             )
         self.steps_per_call = k
+        if config["tpu"]["ada_pallas"] and config["tpu"]["spatial_parallel"] > 1:
+            # The Pallas warp kernel needs the full image rows on one
+            # device; under H-sharding the XLA tent-contraction path (which
+            # XLA partitions with collectives) is the correct one.
+            import warnings
+
+            warnings.warn(
+                "tpu.ada_pallas disabled: incompatible with "
+                "spatial_parallel > 1 (kernel needs unsharded image rows)",
+                stacklevel=2,
+            )
+            config["tpu"]["ada_pallas"] = False
         self.step_fn = self._jit_step(k)
 
         seed = config["training"]["random_seed"]
