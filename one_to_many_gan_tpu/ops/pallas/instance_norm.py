@@ -13,10 +13,13 @@ eps inside rsqrt — matching ops/norm.py's bf16 fast path.
 
 Forward-only and NOT wired into the model path: the models call
 ops/norm.py's ``instance_norm`` (whose bf16 fast path XLA already fuses
-to ~2 reads + 1 write). Wiring this kernel in — with a custom-VJP
-backward — would save ~1 HBM pass per IN site, measured at ~1-2% of the
-fused step; kept as an exercised-but-unwired optimization (see
-tests/test_pallas_kernels.py) until it clears that bar.
+to ~2 reads + 1 write). A custom-VJP integration was built and REJECTED
+(round 2): Mosaic requires the block's lane dimension to be a multiple
+of 128 or the full channel count, and the step's dominant IN shape
+(256^2 x 64ch, 8.4 MB per bf16 block) cannot hold full channels in VMEM
+for in+out+double-buffering — while any H/W split breaks the one-pass
+(H,W) statistics and degenerates to XLA's own two-pass schedule. The
+would-be win was ~1-2% of the step; not reachable on v5e tiling.
 """
 
 from __future__ import annotations

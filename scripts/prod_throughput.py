@@ -52,6 +52,9 @@ def main() -> None:
             "steps_per_call": 50,
             "resume": False,
             "remat": remat,
+            # production single-chip operating point includes the fused
+            # Pallas warp (bench.py default; +3% measured)
+            "ada_pallas": True,
         },
     )
 
