@@ -85,6 +85,12 @@ class Logger:
             self._data[key].append(value)
 
     def print(self, step: int) -> str:
+        return self.summary(step)[0]
+
+    def summary(self, step: int) -> tuple[str, dict[str, float]]:
+        """Emit the reference-format log line AND the interval means as a
+        dict (for structured sinks: metrics.jsonl, TensorBoard adapters).
+        Resets the trackers."""
         host = jax.device_get(self._data)  # ONE host pull for all series
         mean = {
             k: float(np.mean(np.concatenate([np.atleast_1d(x) for x in v])))
@@ -105,7 +111,7 @@ class Logger:
             f"ADA: {mean['ada_ps']:.6g}, "
         )
         self.initialise_trackers()
-        return string
+        return string, mean
 
 
 def to_display(img: np.ndarray) -> np.ndarray:

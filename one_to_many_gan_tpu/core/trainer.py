@@ -19,6 +19,7 @@ TPU-native upgrades over the reference:
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -367,13 +368,18 @@ class Trainer:
             step += k_now
 
             if step % log_interval == 0 or step == total:
-                line = self.logger.print(step)
+                line, means = self.logger.summary(step)
                 if self.verbose:
                     rate = (step - self.start_step) / (time.perf_counter() - t0)
                     print(line + f" [{rate:.2f} it/s]")
                 run_dir.mkdir(parents=True, exist_ok=True)
                 with (run_dir / "log").open("a") as f:
                     f.write(line + "\n")
+                # Structured sink alongside the reference-format text log:
+                # one JSON object per interval (machine-readable
+                # observability; trivially adaptable to TensorBoard/W&B).
+                with (run_dir / "metrics.jsonl").open("a") as f:
+                    f.write(json.dumps({"step": step, **means}) + "\n")
 
             # Full checkpoint on the cadence, plus once at the TRUE end of
             # training (a max_steps-bounded pause is not an end).

@@ -77,20 +77,16 @@ def main() -> None:
         config, shoeprint_images=prints, shoemark_images=marks, verbose=True
     )
 
-    # capture the per-interval means by tapping the Logger
+    # capture the per-interval means by tapping the Logger's summary
     history: list[dict] = []
-    orig_print = trainer.logger.print
+    orig_summary = trainer.logger.summary
 
-    def tapping_print(step):
-        host = jax.device_get(trainer.logger._data)
-        means = {
-            k: float(np.mean(np.concatenate([np.atleast_1d(x) for x in v])))
-            for k, v in host.items()
-        }
+    def tapping_summary(step):
+        line, means = orig_summary(step)
         history.append({"step": step, **means})
-        return orig_print(step)
+        return line, means
 
-    trainer.logger.print = tapping_print
+    trainer.logger.summary = tapping_summary
 
     t0 = time.perf_counter()
     trainer.run()

@@ -48,18 +48,14 @@ def test_losses_fall_over_training(tmp_path):
     )
 
     history = []
-    orig_print = trainer.logger.print
+    orig_summary = trainer.logger.summary
 
-    def tapping_print(step):
-        host = jax.device_get(trainer.logger._data)
-        means = {
-            k: float(np.mean(np.concatenate([np.atleast_1d(x) for x in v])))
-            for k, v in host.items()
-        }
+    def tapping_summary(step):
+        line, means = orig_summary(step)
         history.append(means)
-        return orig_print(step)
+        return line, means
 
-    trainer.logger.print = tapping_print
+    trainer.logger.summary = tapping_summary
     trainer.run()
 
     assert len(history) == steps // 40

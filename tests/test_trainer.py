@@ -55,6 +55,17 @@ def test_log_file_format(run):
     assert re.fullmatch(pat, lines[0]), lines[0]
     fid_lines = [ln for ln in log.splitlines() if ln.startswith("Step ")]
     assert any("fid:" in ln and "kid:" in ln for ln in fid_lines)
+    # structured sink mirrors the text log: one JSON object per interval
+    import json
+
+    jl = (
+        config["training"]["checkpoint_directory"]
+        / config["training"]["training_run"]
+        / "metrics.jsonl"
+    ).read_text()
+    rows = [json.loads(ln) for ln in jl.splitlines()]
+    assert len(rows) == 3
+    assert {"step", *("total_disc_losses", "ada_ps")} <= set(rows[0])
 
 
 def test_image_and_val_artifacts(run):
