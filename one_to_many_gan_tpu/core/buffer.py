@@ -9,6 +9,17 @@ The reference runs this as host-side Python over detached tensors every
 step. Here the buffer is a fixed-size device array updated inside the
 jitted train step with a ``fori_loop`` over the (small) batch — preserving
 the exact sequential fill/swap semantics with zero host round-trips.
+
+Multi-chip note: under data parallelism the buffer state is replicated
+while ``fakes`` is batch-sharded, so the per-iteration
+``dynamic_index_in_dim(fakes, i)`` makes the SPMD partitioner insert a
+small cross-device gather per image (visible as the all-to-all tail in
+the 8-device dryrun profile). The sharding-aware formulation — all-gather
+the stop-gradient'd fakes ONCE, run the loop replicated, reslice the
+output to the batch sharding — is deferred until real multi-chip
+hardware is available to measure it against (the traffic either way is a
+few MB/step over ICI; correctness is unaffected, see
+tests/test_parallel.py equality tests).
 """
 
 from __future__ import annotations

@@ -48,12 +48,16 @@ def test_multi_step_matches_sequential(tmp_path):
     )
     s_multi, m_multi = multi(state0, stacked, jnp.stack(keys))
 
-    # step 0 runs on identical params -> tight match; later steps see the
-    # tiny param drift of separately-compiled update programs compounded,
-    # so the comparison loosens with depth.
+    # step 0 runs on identical params -> tight match. Step 1 sees one
+    # update's worth of cross-program rounding (measured 8e-6 worst rel
+    # diff; bound 1e-4 leaves 10x headroom while still catching any
+    # RNG/batch threading off-by-one, which would diverge at O(1)).
+    # Step >=2 compounds through Adam's normalized updates (a 1-ulp grad
+    # difference moves a param by ~lr), so only a loose bound is
+    # meaningful there.
     for i in range(k):
-        rtol = 1e-5 if i == 0 else 0.05
-        atol = 1e-6 if i == 0 else 2e-3
+        rtol = {0: 1e-5, 1: 1e-4}.get(i, 0.05)
+        atol = {0: 1e-6, 1: 1e-5}.get(i, 2e-3)
         for name in seq_metrics[i]:
             np.testing.assert_allclose(
                 float(seq_metrics[i][name]),
