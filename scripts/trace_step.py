@@ -31,8 +31,17 @@ def capture(batch: int, size: int, k: int) -> None:
     from one_to_many_gan_tpu.core.train_step import Batches, make_multi_step
     from one_to_many_gan_tpu.presets import tiny_config
 
+    import os
+
     config = tiny_config(
-        (size, size), batch, min_latent=64, tpu={"precision": "bfloat16"}
+        (size, size),
+        batch,
+        min_latent=64,
+        tpu={
+            "precision": "bfloat16",
+            # match bench.py's default operating point
+            "ada_pallas": os.environ.get("OTM_TRACE_ADA_PALLAS", "1") == "1",
+        },
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))

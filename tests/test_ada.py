@@ -28,6 +28,12 @@ def test_p_zero_is_identity():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
+def test_p_zero_is_identity_pallas():
+    x = _images()
+    y = augment(x, 0.0, jax.random.key(0), pallas=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
 def test_deterministic_given_key():
     x = _images()
     y1 = augment(x, 0.7, jax.random.key(3))
