@@ -96,22 +96,69 @@ class EqualizedConv(nn.Module):
         w_eff = weight.astype(self.dtype) * c
         x = _pad2d(x.astype(self.dtype), self.padding, self.pad_mode)
         # NOTE on the Cout=1 output convs (generator/discriminator heads):
-        # a KxK Cin->1 conv pays the MXU's 128-lane output padding, and two
-        # restructurings were measured IN-STEP and rejected (see
-        # BASELINE.md "round-2 negative results"): (a) zero-padding the
-        # output channels to 8 is folded away by XLA's slice(conv)
-        # simplifier; (b) a tap-basis rewrite (1x1 conv to k*k tap channels
-        # + shifted-slice sum) wins in isolation but loses ~10 ms/step
-        # in-step — the per-tap slice reads one lane of a 128-lane-padded
-        # tile, wasting ~128x read bandwidth. XLA's fused direct conv is
-        # the measured optimum here.
-        y = jax.lax.conv_general_dilated(
-            x,
-            w_eff,
-            window_strides=(self.stride, self.stride),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # a KxK Cin->1 conv pays the MXU's 128-lane output padding. Two
+        # restructurings were measured IN-STEP and rejected (BASELINE.md
+        # "round-2 negative results"): zero-padding the output channels is
+        # folded away by XLA's slice(conv) simplifier, and a tap-basis
+        # rewrite (1x1 conv + shifted-slice sum) loses ~10 ms/step to
+        # 128x lane-waste in the per-tap slice reads. The formulation that
+        # DOES win is the output space-to-depth below.
+        import os
+
+        sub = int(os.environ.get("OTM_S2D_OUTCONV", "8"))
+        h_out = x.shape[1] - kh + 1
+        w_out = x.shape[2] - kw + 1
+        s2d = (
+            sub >= 2
+            and self.features == 1
+            and self.stride == 1
+            and kh == kw
+            and h_out % sub == 0
+            and w_out % sub == 0
+            and (x.shape[1] - (kh + sub - 1)) % sub == 0
+            and (x.shape[2] - (kw + sub - 1)) % sub == 0
         )
+        if s2d:
+            # Output space-to-depth: one (K+S-1)^2 stride-S conv with S^2
+            # subpixel output channels (the KxK kernel embedded at the S^2
+            # offsets), then depth-to-space. Same multiplies on 1/S^2 the
+            # spatial positions -> S^2 less padded-MXU output work (the
+            # 128-lane Cout padding is paid either way); stays a single
+            # conv so XLA's fusion structure is untouched. Measured
+            # in-step at 256^2/b16 (BASELINE.md): S=2 +2.3%, S=4 +5.0%,
+            # S=8 +6.0% end-to-end (the default; S=16 would split the
+            # 256 output channels across two 128-lane groups). Exact to
+            # f32 reassociation; OTM_S2D_OUTCONV=0 restores the direct
+            # conv.
+            ws = jnp.zeros(
+                (kh + sub - 1, kw + sub - 1, in_features, sub * sub), self.dtype
+            )
+            for di in range(sub):
+                for dj in range(sub):
+                    ws = ws.at[di : di + kh, dj : dj + kw, :, di * sub + dj].set(
+                        w_eff[..., 0]
+                    )
+            ysub = jax.lax.conv_general_dilated(
+                x,
+                ws,
+                window_strides=(sub, sub),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            b_, hh, wh, _ = ysub.shape
+            y = (
+                ysub.reshape(b_, hh, wh, sub, sub)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b_, hh * sub, wh * sub, 1)
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w_eff,
+                window_strides=(self.stride, self.stride),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
