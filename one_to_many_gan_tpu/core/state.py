@@ -55,6 +55,10 @@ class Models:
         self.image_size = tuple(data["image_size"])
         self.channels = data["image_channels"]
         self.w_dim = arch["w_dim"]
+        # The head convs' output space-to-depth formulation partitions
+        # incorrectly under XLA SPMD spatial (H) sharding — disable it
+        # whenever the config shards the spatial axis (ops/equalized.py).
+        head_s2d = 0 if config["tpu"]["spatial_parallel"] > 1 else 8
         self.generator = Generator(
             channels=self.channels,
             w_dim=arch["w_dim"],
@@ -62,8 +66,9 @@ class Models:
             min_latent_resolution=arch["min_latent_resolution"],
             n_resnet_blocks=arch["n_resnet_blocks"],
             dtype=dtype,
+            head_s2d=head_s2d,
         )
-        self.discriminator = Discriminator(dtype=dtype)
+        self.discriminator = Discriminator(dtype=dtype, head_s2d=head_s2d)
         self.mapping = MappingNetwork(
             features=arch["w_dim"], n_layers=arch["mapping_network_layers"]
         )

@@ -37,11 +37,14 @@ def _trunk(x: jax.Array, dtype: jnp.dtype) -> jax.Array:
 
 class Discriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    head_s2d: int = 8  # 0 under spatial sharding (ops/equalized.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = _trunk(x.astype(self.dtype), self.dtype)
-        return EqualizedConv(1, 4, padding=1, dtype=self.dtype)(x)
+        return EqualizedConv(
+            1, 4, padding=1, dtype=self.dtype, s2d_out=self.head_s2d
+        )(x)
 
 
 class StyleExtractor(nn.Module):

@@ -59,6 +59,9 @@ class Generator(nn.Module):
     n_resnet_blocks: int
     start_filters: int = 64
     dtype: jnp.dtype = jnp.float32
+    # output-conv space-to-depth factor (0 under spatial sharding; see
+    # ops/equalized.py EqualizedConv.s2d_out)
+    head_s2d: int = 8
 
     @property
     def n_style_blocks(self) -> int:
@@ -97,7 +100,12 @@ class Generator(nn.Module):
             f //= 2
         self.dec_up = dec_up
         self.out_conv = EqualizedConv(
-            self.channels, 7, padding=3, pad_mode="reflect", dtype=self.dtype
+            self.channels,
+            7,
+            padding=3,
+            pad_mode="reflect",
+            dtype=self.dtype,
+            s2d_out=self.head_s2d,
         )
 
     def encode(self, x: jax.Array) -> jax.Array:

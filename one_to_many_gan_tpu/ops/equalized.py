@@ -80,6 +80,12 @@ class EqualizedConv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Output space-to-depth subpixel factor for Cout=1 convs (see below);
+    # 0 disables. MUST be 0 when the spatial axes are device-sharded: the
+    # strided-conv + depth-to-space chain partitions INCORRECTLY under
+    # XLA SPMD H-sharding (measured wrong, not just reassociated —
+    # Models(config) handles this automatically from tpu.spatial_parallel).
+    s2d_out: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -105,7 +111,8 @@ class EqualizedConv(nn.Module):
         # DOES win is the output space-to-depth below.
         import os
 
-        sub = int(os.environ.get("OTM_S2D_OUTCONV", "8"))
+        env = os.environ.get("OTM_S2D_OUTCONV")
+        sub = int(env) if env is not None else self.s2d_out
         h_out = x.shape[1] - kh + 1
         w_out = x.shape[2] - kw + 1
         s2d = (

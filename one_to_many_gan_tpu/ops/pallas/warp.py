@@ -122,9 +122,11 @@ def _bwd_kernel(
 
 
 def _chunk_for(h: int) -> int:
-    # VMEM: ~3 x [CHUNK*W, max(H,W)+2r] f32 live blocks; 8 rows fits
-    # comfortably to 256^2, 2 rows at 512^2.
-    return 8 if h <= 256 else 2
+    # Mosaic requires the block's sublane dim (CHUNK here) to be a
+    # multiple of 8; 8 rows of VMEM tent blocks fit up to 256-wide
+    # images. Beyond that the caller falls back to the XLA path (a
+    # W-split grid would extend the kernel to 512^2; ROADMAP).
+    return 8
 
 
 def _coord_specs(chunk, w):

@@ -86,11 +86,22 @@ def test_dp_step_matches_single_device(setup):
         )
 
 
-def test_dp_plus_spatial_step_matches_single_device(setup):
+def test_dp_plus_spatial_step_matches_single_device(tmp_path):
     """The 4x2 data x spatial mesh must compute the SAME step as one
     device — height-sharded convs (halo exchanges), global-batch stats and
-    the buffer all included. Equality, not finiteness (VERDICT r1 #5)."""
-    config, models, state, step = setup
+    the buffer all included. Equality, not finiteness (VERDICT r1 #5).
+
+    Built from a spatial_parallel=2 config, exactly as Trainer would —
+    which is what disables the head convs' space-to-depth formulation
+    (it partitions incorrectly under H-sharding; ops/equalized.py)."""
+    config = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
+        )
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    step = make_train_step(config, models)
     batches = _batches(config, seed=1)
     rng = jax.random.key(6)
 
@@ -128,3 +139,16 @@ def test_batch_sharding_layout(setup):
     assert x.sharding == batch_sharding(mesh)
     # per-device shard carries B/8 images
     assert x.addressable_shards[0].data.shape[0] == x.shape[0] // 8
+
+
+def test_spatial_config_disables_head_s2d(tmp_path):
+    """Models built from a spatial_parallel>1 config must turn off the
+    head convs' space-to-depth (it partitions incorrectly under XLA SPMD
+    H-sharding — this is the regression guard for that silent-wrongness)."""
+    cfg_sp = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
+        )
+    )
+    assert Models(cfg_sp).generator.head_s2d == 0
+    assert Models(cfg_sp).discriminator.head_s2d == 0
