@@ -291,7 +291,7 @@ def warp_bilinear(
     else:
         width_x = width_y = jnp.ones((b,), jnp.float32)
 
-    if pallas and c == 1 and h % 8 == 0 and h <= 256 and w <= 256:
+    if pallas and c == 1 and h % 8 == 0 and w % min(w, 256) == 0 and h <= 512 and w <= 512:
         # Fused VMEM kernel (ops/pallas/warp.py): same tent contraction
         # without the HBM [chunk, W, H'] intermediate. Single-channel only;
         # differentiable in images only (g_inv is RNG-derived here).

@@ -68,16 +68,19 @@ def _tent(
 def _fwd_kernel(
     wx_ref, wy_ref, sx_ref, sy_ref, img_ref, out_ref, *, antialias: bool, r: int
 ):
-    # wx_ref/wy_ref: scalar-prefetched [B] width arrays in SMEM.
+    # wx_ref/wy_ref: scalar-prefetched [B] width arrays in SMEM. Grid is
+    # (batch, row-chunks, column-chunks); the tent tap dimensions always
+    # span the FULL input (dense contraction), only the output tile splits.
     i = pl.program_id(0)
-    chunk, w = sx_ref.shape[1], sx_ref.shape[2]
-    h = img_ref.shape[1]
+    chunk, wblk = sx_ref.shape[1], sx_ref.shape[2]
+    h, w = img_ref.shape[1], img_ref.shape[2]
     dtype = img_ref.dtype
-    sx = sx_ref[0]  # [CHUNK, W]
+    sx = sx_ref[0]  # [CHUNK, WBLK]
     sy = sy_ref[0]
     img = img_ref[0]  # [H, W]
-    wx = _tent(sx, w, r, wx_ref[i], antialias).reshape(chunk * w, w)
-    wy = _tent(sy, h, r, wy_ref[i], antialias).reshape(chunk * w, h)
+    m = chunk * wblk
+    wx = _tent(sx, w, r, wx_ref[i], antialias).reshape(m, w)
+    wy = _tent(sy, h, r, wy_ref[i], antialias).reshape(m, h)
     # g[m, y'] = sum_p wx[m, p] img[y', p]   (MXU, f32 accumulation)
     g = jax.lax.dot_general(
         wx.astype(dtype),
@@ -86,7 +89,7 @@ def _fwd_kernel(
         preferred_element_type=jnp.float32,
     )
     out = jnp.sum(g * wy, axis=1)  # [m]  (VPU)
-    out_ref[0] = out.reshape(chunk, w).astype(dtype)
+    out_ref[0] = out.reshape(chunk, wblk).astype(dtype)
 
 
 def _bwd_kernel(
@@ -95,44 +98,49 @@ def _bwd_kernel(
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    chunk, w = sx_ref.shape[1], sx_ref.shape[2]
-    h = dimg_ref.shape[1]
+    kk = pl.program_id(2)
+    chunk, wblk = sx_ref.shape[1], sx_ref.shape[2]
+    h, w = dimg_ref.shape[1], dimg_ref.shape[2]
     sx = sx_ref[0]
     sy = sy_ref[0]
-    dout = dout_ref[0].astype(jnp.float32)  # [CHUNK, W]
-    wx = _tent(sx, w, r, wx_ref[i], antialias).reshape(chunk * w, w)
+    dout = dout_ref[0].astype(jnp.float32)  # [CHUNK, WBLK]
+    m = chunk * wblk
+    wx = _tent(sx, w, r, wx_ref[i], antialias).reshape(m, w)
     # Fold dout into wy at 3D (a lane-preserving broadcast — Mosaic rejects
     # the [CHUNK, W] -> [CHUNK*W, 1] lane->sublane reshape), then collapse.
-    a = (_tent(sy, h, r, wy_ref[i], antialias) * dout[..., None]).reshape(
-        chunk * w, h
-    )
+    a = (_tent(sy, h, r, wy_ref[i], antialias) * dout[..., None]).reshape(m, h)
 
-    @pl.when(j == 0)
+    @pl.when(jnp.logical_and(j == 0, kk == 0))
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # dimg[y', p] = sum_m (wy[m, y'] * dout[m]) * wx[m, p]   (MXU)
+    # dimg[y', p] = sum_m (wy[m, y'] * dout[m]) * wx[m, p]   (MXU); every
+    # output tile contributes to the whole [H, W] accumulator (dense taps).
     acc_ref[:] += jax.lax.dot_general(
         a, wx, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(
+        jnp.logical_and(
+            j == pl.num_programs(1) - 1, kk == pl.num_programs(2) - 1
+        )
+    )
     def _():
         dimg_ref[0] = acc_ref[:].astype(dimg_ref.dtype)
 
 
-def _chunk_for(h: int) -> int:
-    # Mosaic requires the block's sublane dim (CHUNK here) to be a
-    # multiple of 8; 8 rows of VMEM tent blocks fit up to 256-wide
-    # images. Beyond that the caller falls back to the XLA path (a
-    # W-split grid would extend the kernel to 512^2; ROADMAP).
-    return 8
+def _tiles_for(h: int, w: int) -> tuple[int, int]:
+    """(row-chunk, column-block): 8 rows (Mosaic sublane minimum) x up to
+    256 columns — the [CHUNK*WBLK, taps] tent blocks stay within VMEM for
+    images up to 512 wide (column tiling splits only the OUTPUT; the tap
+    dimensions always span the full input)."""
+    return 8, min(w, 256)
 
 
-def _coord_specs(chunk, w):
+def _coord_specs(chunk, wblk):
     return [
-        pl.BlockSpec((1, chunk, w), lambda i, j, *_: (i, j, 0)),  # sx
-        pl.BlockSpec((1, chunk, w), lambda i, j, *_: (i, j, 0)),  # sy
+        pl.BlockSpec((1, chunk, wblk), lambda i, j, kk, *_: (i, j, kk)),  # sx
+        pl.BlockSpec((1, chunk, wblk), lambda i, j, kk, *_: (i, j, kk)),  # sy
     ]
 
 
@@ -151,18 +159,20 @@ def warp_pallas(images, sx, sy, width_x, width_y, antialias: bool = False):
 
 def _warp_fwd_impl(images, sx, sy, width_x, width_y, antialias):
     b, h, w = images.shape
-    chunk = _chunk_for(h)
+    chunk, wblk = _tiles_for(h, w)
     r = 2 * int(_AA_MAX_WIDTH) if antialias else 0
     kernel = functools.partial(_fwd_kernel, antialias=antialias, r=r)
     interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # width_x, width_y -> SMEM, indexed by b
-        grid=(b, h // chunk),
+        grid=(b, h // chunk, w // wblk),
         in_specs=[
-            *_coord_specs(chunk, w),
-            pl.BlockSpec((1, h, w), lambda i, j, *_: (i, 0, 0)),  # img
+            *_coord_specs(chunk, wblk),
+            pl.BlockSpec((1, h, w), lambda i, j, kk, *_: (i, 0, 0)),  # img
         ],
-        out_specs=pl.BlockSpec((1, chunk, w), lambda i, j, *_: (i, j, 0)),
+        out_specs=pl.BlockSpec(
+            (1, chunk, wblk), lambda i, j, kk, *_: (i, j, kk)
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -180,18 +190,20 @@ def _warp_fwd(images, sx, sy, width_x, width_y, antialias):
 def _warp_bwd(antialias, res, dout):
     sx, sy, width_x, width_y = res
     b, h, w = dout.shape
-    chunk = _chunk_for(h)
+    chunk, wblk = _tiles_for(h, w)
     r = 2 * int(_AA_MAX_WIDTH) if antialias else 0
     kernel = functools.partial(_bwd_kernel, antialias=antialias, r=r)
     interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h // chunk),
+        grid=(b, h // chunk, w // wblk),
         in_specs=[
-            *_coord_specs(chunk, w),
-            pl.BlockSpec((1, chunk, w), lambda i, j, *_: (i, j, 0)),  # dout
+            *_coord_specs(chunk, wblk),
+            pl.BlockSpec(
+                (1, chunk, wblk), lambda i, j, kk, *_: (i, j, kk)
+            ),  # dout
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i, j, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, w), lambda i, j, kk, *_: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)],
     )
     dimg = pl.pallas_call(
