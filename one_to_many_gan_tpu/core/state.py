@@ -55,10 +55,25 @@ class Models:
         self.image_size = tuple(data["image_size"])
         self.channels = data["image_channels"]
         self.w_dim = arch["w_dim"]
-        # The head convs' output space-to-depth formulation partitions
-        # incorrectly under XLA SPMD spatial (H) sharding — disable it
-        # whenever the config shards the spatial axis (ops/equalized.py).
-        head_s2d = 0 if config["tpu"]["spatial_parallel"] > 1 else 8
+        # The generator head conv's output space-to-depth formulation
+        # partitions incorrectly under XLA SPMD spatial (H) sharding —
+        # disable it whenever the config shards the spatial axis
+        # (ops/equalized.py). The env override is resolved HERE, once, so
+        # traced programs are a pure function of the built modules.
+        import os
+
+        env = os.environ.get("OTM_S2D_OUTCONV")
+        head_s2d = (
+            0
+            if config["tpu"]["spatial_parallel"] > 1
+            else (int(env) if env is not None else 8)
+        )
+        # Same H-sharding caveat as head_s2d: the packing's
+        # reshape/transpose across H partitions incorrectly under sp > 1.
+        s2d_pack = (
+            config["tpu"]["s2d_pack"]
+            and config["tpu"]["spatial_parallel"] == 1
+        )
         self.generator = Generator(
             channels=self.channels,
             w_dim=arch["w_dim"],
@@ -67,8 +82,9 @@ class Models:
             n_resnet_blocks=arch["n_resnet_blocks"],
             dtype=dtype,
             head_s2d=head_s2d,
+            s2d_pack=s2d_pack,
         )
-        self.discriminator = Discriminator(dtype=dtype, head_s2d=head_s2d)
+        self.discriminator = Discriminator(dtype=dtype)
         self.mapping = MappingNetwork(
             features=arch["w_dim"], n_layers=arch["mapping_network_layers"]
         )
@@ -130,3 +146,13 @@ def init_train_state(config: Config, models: Models, rng: jax.Array) -> TrainSta
 
 def param_count(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def eval_params_g(state: TrainState):
+    """Generator parameters for evaluation/inference.
+
+    The EMA weights (tpu.ema_decay > 0) are what EMA exists for: FID,
+    image grids, and the generate CLI must all sample from them, not the
+    raw optimizer iterates. Falls back to ``params_g`` when EMA is off.
+    """
+    return state.ema_params_g if state.ema_params_g is not None else state.params_g

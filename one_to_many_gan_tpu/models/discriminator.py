@@ -37,14 +37,16 @@ def _trunk(x: jax.Array, dtype: jnp.dtype) -> jax.Array:
 
 class Discriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
-    head_s2d: int = 8  # 0 under spatial sharding (ops/equalized.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = _trunk(x.astype(self.dtype), self.dtype)
-        return EqualizedConv(
-            1, 4, padding=1, dtype=self.dtype, s2d_out=self.head_s2d
-        )(x)
+        # No s2d_out here: the 4x4 pad-1 head conv's output is odd-sized
+        # (29^2 at 256^2 input, 61^2 at 512^2), never divisible by the
+        # subpixel factor, so the space-to-depth formulation can never
+        # activate on the D head — the measured +6% (BASELINE.md) comes
+        # solely from the generator's out_conv.
+        return EqualizedConv(1, 4, padding=1, dtype=self.dtype, s2d_out=0)(x)
 
 
 class StyleExtractor(nn.Module):

@@ -62,6 +62,9 @@ class Generator(nn.Module):
     # output-conv space-to-depth factor (0 under spatial sharding; see
     # ops/equalized.py EqualizedConv.s2d_out)
     head_s2d: int = 8
+    # space-to-depth packing of the low-channel large-spatial 3x3 convs
+    # (ops/equalized.py conv3x3_s2d_packed; tpu.s2d_pack via Models)
+    s2d_pack: bool = False
 
     @property
     def n_style_blocks(self) -> int:
@@ -86,7 +89,11 @@ class Generator(nn.Module):
         )
         enc_down = []
         for _ in range(n_down):
-            enc_down.append(EqualizedConv(f * 2, 3, padding=1, dtype=self.dtype))
+            enc_down.append(
+                EqualizedConv(
+                    f * 2, 3, padding=1, dtype=self.dtype, s2d_in=self.s2d_pack
+                )
+            )
             f *= 2
         self.enc_down = enc_down
         self.enc_blocks = [ResnetBlock(f, dtype=self.dtype) for _ in range(n_enc)]
@@ -96,7 +103,11 @@ class Generator(nn.Module):
         ]
         dec_up = []
         for _ in range(n_down):
-            dec_up.append(ModulatedConv(f // 2, 3, padding=1, dtype=self.dtype))
+            dec_up.append(
+                ModulatedConv(
+                    f // 2, 3, padding=1, dtype=self.dtype, s2d_in=self.s2d_pack
+                )
+            )
             f //= 2
         self.dec_up = dec_up
         self.out_conv = EqualizedConv(

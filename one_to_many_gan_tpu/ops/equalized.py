@@ -22,6 +22,67 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 
+def s2d_pack_eligible(xp: jax.Array, kh: int, kw: int, stride: int) -> bool:
+    """Shape gate for the space-to-depth-packed 3x3 conv (below).
+
+    Only the low-channel, large-spatial levels win: the MXU runs
+    3x3@<=128ch convs at 256²+ well below peak (channel lane padding,
+    BASELINE.md probe table: 50-66 TFLOPs vs 109-131 at deeper levels),
+    while the packed 2x2@4C equivalent runs ~122-131 — more than the
+    16/9 FLOP inflation. ``xp`` is the already-padded input.
+    """
+    return (
+        kh == 3
+        and kw == 3
+        and stride == 1
+        and xp.shape[-1] <= 128
+        and min(xp.shape[1], xp.shape[2]) >= 200
+        and xp.shape[1] % 2 == 0
+        and xp.shape[2] % 2 == 0
+    )
+
+
+def conv3x3_s2d_packed(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """VALID 3x3 stride-1 conv computed as a 2x space-to-depth-packed
+    2x2 conv (exact to float reassociation).
+
+    ``xp`` [B,Hp,Wp,C] is the padded input (Hp, Wp even); ``w``
+    [3,3,C,O]. Output equals ``conv_general_dilated(xp, w, VALID)``:
+    [B,Hp-2,Wp-2,O].
+
+    Formulation: the 3x3 kernel is embedded at each of the 4 subpixel
+    offsets of ONE 4x4 stride-2 kernel with 4O output channels (one O
+    group per output subpixel), followed by depth-to-space — the proven
+    ``s2d_out`` trick generalized to O > 1. The input needs NO
+    space-to-depth relayout (an explicit input repack was measured at
+    -19% in-step, BASELINE.md round-3 rejections); the output d2s
+    reshape is the same cheap pattern the head conv already uses. MACs
+    inflate 16/9, but the MXU matmul shape (K-dim 16C vs 9C, M /4)
+    matches the measured-fast packed shape (BASELINE.md probe table).
+    """
+    b, hp, wp, cin = xp.shape
+    o = w.shape[-1]
+    ws = jnp.zeros((4, 4, cin, 4 * o), w.dtype)
+    for pi in range(2):
+        for pj in range(2):
+            ws = ws.at[
+                pi : pi + 3, pj : pj + 3, :, (pi * 2 + pj) * o : (pi * 2 + pj + 1) * o
+            ].set(w)
+    yq = jax.lax.conv_general_dilated(
+        xp,
+        ws,
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, Hp/2 - 1, Wp/2 - 1, 4O]
+    h2, w2 = hp // 2 - 1, wp // 2 - 1
+    return (
+        yq.reshape(b, h2, w2, 2, 2, o)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, 2 * h2, 2 * w2, o)
+    )
+
+
 def _pad2d(x: jax.Array, pad: int, mode: str) -> jax.Array:
     if pad == 0:
         return x
@@ -86,6 +147,10 @@ class EqualizedConv(nn.Module):
     # XLA SPMD H-sharding (measured wrong, not just reassociated —
     # Models(config) handles this automatically from tpu.spatial_parallel).
     s2d_out: int = 8
+    # Input space-to-depth packing for eligible 3x3 convs
+    # (conv3x3_s2d_packed; tpu.s2d_pack via Models). Same H-sharding
+    # caveat as s2d_out.
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -108,11 +173,12 @@ class EqualizedConv(nn.Module):
         # folded away by XLA's slice(conv) simplifier, and a tap-basis
         # rewrite (1x1 conv + shifted-slice sum) loses ~10 ms/step to
         # 128x lane-waste in the per-tap slice reads. The formulation that
-        # DOES win is the output space-to-depth below.
-        import os
-
-        env = os.environ.get("OTM_S2D_OUTCONV")
-        sub = int(env) if env is not None else self.s2d_out
+        # DOES win is the output space-to-depth below. The OTM_S2D_OUTCONV
+        # override is resolved ONCE at Models(config) build time
+        # (core/state.py) — traced programs stay a pure function of module
+        # attributes (ambient-env reads at trace time can disagree with
+        # the sharding guard and poison persistent-compilation-cache keys).
+        sub = self.s2d_out
         h_out = x.shape[1] - kh + 1
         w_out = x.shape[2] - kw + 1
         s2d = (
@@ -158,6 +224,8 @@ class EqualizedConv(nn.Module):
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(b_, hh * sub, wh * sub, 1)
             )
+        elif self.s2d_in and s2d_pack_eligible(x, kh, kw, self.stride):
+            y = conv3x3_s2d_packed(x, w_eff)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

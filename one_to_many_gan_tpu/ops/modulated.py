@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from one_to_many_gan_tpu.ops.equalized import EqualizedLinear, _pad2d
+from one_to_many_gan_tpu.ops.equalized import (
+    EqualizedLinear,
+    _pad2d,
+    conv3x3_s2d_packed,
+    s2d_pack_eligible,
+)
 
 
 class ModulatedConv(nn.Module):
@@ -52,6 +57,11 @@ class ModulatedConv(nn.Module):
     use_bias: bool = False
     eps: float = 1e-8
     dtype: jnp.dtype = jnp.float32
+    # Space-to-depth packing for eligible shapes (tpu.s2d_pack): the
+    # modulation (per-in-channel activation scale) and demodulation
+    # (per-out-channel rescale) both commute with the subpixel packing,
+    # so the packed conv drops in unchanged (ops/equalized.py).
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, w_style: jax.Array) -> jax.Array:
@@ -78,13 +88,17 @@ class ModulatedConv(nn.Module):
         # Modulate: scale activations per (batch, in-channel).
         x = x.astype(self.dtype) * s[:, None, None, :].astype(self.dtype)
         x = _pad2d(x, self.padding, self.pad_mode)
-        y = jax.lax.conv_general_dilated(
-            x,
-            weight.astype(self.dtype) * jnp.asarray(c, self.dtype),
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        w_eff = weight.astype(self.dtype) * jnp.asarray(c, self.dtype)
+        if self.s2d_in and s2d_pack_eligible(x, k, k, 1):
+            y = conv3x3_s2d_packed(x, w_eff)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w_eff,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
 
         if self.demodulate:
             # sum over (kh, kw) of the *equalized* weight squared: [in, out]

@@ -229,3 +229,81 @@ def test_modulated_conv_zero_style_is_unit_modulation(rng):
     c_lin = 1.0 / np.sqrt(4)
     s_actual = wv @ np.asarray(params["params"]["to_style"]["weight"]) * c_lin + 1.0
     np.testing.assert_allclose(s_actual, s_expected)
+
+
+# ----------------------------------------- s2d-packed 3x3 conv (ROADMAP 5b)
+
+
+def test_conv3x3_s2d_packed_exact():
+    """The 2x space-to-depth-packed formulation equals the direct VALID
+    conv to float tolerance at an eligible shape."""
+    from one_to_many_gan_tpu.ops.equalized import (
+        conv3x3_s2d_packed,
+        s2d_pack_eligible,
+    )
+
+    r = np.random.default_rng(0)
+    xp = jnp.asarray(r.standard_normal((2, 204, 208, 5)).astype(np.float32))
+    w = jnp.asarray(r.standard_normal((3, 3, 5, 7)).astype(np.float32))
+    assert s2d_pack_eligible(xp, 3, 3, 1)
+    direct = jax.lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    packed = conv3x3_s2d_packed(xp, w)
+    assert packed.shape == direct.shape == (2, 202, 206, 7)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(direct), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_equalized_conv_s2d_in_exact():
+    """EqualizedConv with s2d_in on matches the direct path exactly
+    (same params) at an eligible shape, including gradients."""
+    from one_to_many_gan_tpu.ops import EqualizedConv
+
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.standard_normal((1, 202, 202, 4)).astype(np.float32))
+    conv_a = EqualizedConv(6, 3, padding=1, s2d_in=False)
+    conv_b = EqualizedConv(6, 3, padding=1, s2d_in=True)
+    params = conv_a.init(jax.random.key(0), x)
+    ya = conv_a.apply(params, x)
+    yb = conv_b.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(ya), np.asarray(yb), rtol=1e-5, atol=1e-4
+    )
+    ga = jax.grad(lambda z: jnp.sum(conv_a.apply(params, z) ** 2))(x)
+    gb = jax.grad(lambda z: jnp.sum(conv_b.apply(params, z) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_modulated_conv_s2d_in_exact():
+    """ModulatedConv s2d_in: modulation/demodulation commute with the
+    subpixel packing."""
+    from one_to_many_gan_tpu.ops import ModulatedConv
+
+    r = np.random.default_rng(2)
+    x = jnp.asarray(r.standard_normal((2, 202, 202, 4)).astype(np.float32))
+    ws = jnp.asarray(r.standard_normal((2, 6)).astype(np.float32))
+    conv_a = ModulatedConv(8, 3, padding=1, s2d_in=False)
+    conv_b = ModulatedConv(8, 3, padding=1, s2d_in=True)
+    params = conv_a.init(jax.random.key(0), x, ws)
+    ya = conv_a.apply(params, x, ws)
+    yb = conv_b.apply(params, x, ws)
+    np.testing.assert_allclose(
+        np.asarray(ya), np.asarray(yb), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_s2d_pack_ineligible_shapes_fall_back():
+    from one_to_many_gan_tpu.ops.equalized import s2d_pack_eligible
+
+    x_small = jnp.zeros((1, 66, 66, 4))
+    assert not s2d_pack_eligible(x_small, 3, 3, 1)  # spatial too small
+    x_wide = jnp.zeros((1, 204, 204, 256))
+    assert not s2d_pack_eligible(x_wide, 3, 3, 1)  # too many channels
+    x_ok = jnp.zeros((1, 204, 204, 64))
+    assert not s2d_pack_eligible(x_ok, 4, 4, 1)  # only 3x3
+    assert not s2d_pack_eligible(x_ok, 3, 3, 2)  # only stride 1
+    assert s2d_pack_eligible(x_ok, 3, 3, 1)
