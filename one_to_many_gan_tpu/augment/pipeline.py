@@ -237,11 +237,29 @@ def warp_bilinear(
     *,
     antialias: bool = False,
     pallas: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """Batched affine warp, NHWC, zero padding outside the frame.
 
     ``g_inv`` [B,3,3] maps centered output pixel coords -> centered input
-    coords. Differentiable in ``images`` and ``g_inv``.
+    coords. The XLA path (default) is differentiable in both ``images``
+    and ``g_inv``. The ``pallas=True`` path is differentiable in
+    ``images`` ONLY: its custom VJP returns zero cotangents for the
+    coordinates/widths (they derive from the augmentation RNG here), and
+    ``stop_gradient`` is applied to them before the kernel so the
+    contract is explicit — a caller differentiating through ``g_inv``
+    must use the XLA path.
+
+    ``mesh``: when a data-parallel ``jax.sharding.Mesh`` is active, the
+    ENTIRE warp runs inside ``shard_map`` over the "data" axis. Both
+    inner paths are batch-sequential (the XLA tent contraction scans the
+    batch with ``lax.map``; the Pallas kernel has no SPMD partitioning
+    rule), so left to the SPMD partitioner they lower to per-image
+    cross-device collectives (the r01 dryrun's 20-second rendezvous
+    stalls). The warp is purely per-image, so sharding the batch is
+    exact; only ``images`` (already batch-sharded) and the [B,3,3]
+    matrices cross the boundary (tests/test_buffer_sharding.py pins the
+    compiled HLO).
 
     TPU-native formulation: per-pixel gathers run near scalar speed on
     TPU, so bilinear sampling is recast as **tent-weight contractions**:
@@ -268,6 +286,31 @@ def warp_bilinear(
     tent matrices simply hold wider kernels (zero extra FLOPs, unlike the
     16x of true 2x supersampling with this formulation).
     """
+    b = images.shape[0]
+    dp = mesh.shape.get("data", 1) if mesh is not None else 1
+    if dp > 1 and b % dp == 0:
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        d = P("data")
+        return jax.shard_map(
+            functools.partial(_warp_impl, antialias=antialias, pallas=pallas),
+            mesh=mesh,
+            in_specs=(d, d),
+            out_specs=d,
+            check_vma=False,
+        )(images, g_inv)
+    return _warp_impl(images, g_inv, antialias=antialias, pallas=pallas)
+
+
+def _warp_impl(
+    images: jax.Array,
+    g_inv: jax.Array,
+    *,
+    antialias: bool,
+    pallas: bool,
+) -> jax.Array:
     b, h, w, c = images.shape
     ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
     xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
@@ -278,15 +321,22 @@ def warp_bilinear(
     sy = src[..., 1] + (h - 1) / 2.0
 
     if antialias:
-        # Per-image, per-axis footprint of one output pixel in input space:
-        # the L1 row norm of the Jacobian (projection of the mapped unit
-        # square onto each input axis).
+        # Per-image, per-axis kernel width: the L2 row norm of the
+        # Jacobian — the radius of the output pixel's sampling ellipse
+        # projected onto each input axis (EWA-style). The L1 norm
+        # (round-2 choice) over-filters rotations: a pure rotation has L1
+        # row sums up to sqrt(2) though its sampling density is unchanged
+        # and the published supersampled pipeline leaves it sharp. The L2
+        # rule is exactly 1 for rigid transforms (reducing to exact
+        # bilinear) and s for a minification s — measured uniformly ~30%
+        # closer to the 2x supersampled sym6 oracle across the ADA
+        # parameter distribution (tests/test_ada_supersampled_oracle.py).
         jac = g_inv[:, :2, :2]
         width_x = jnp.clip(
-            jnp.abs(jac[:, 0, 0]) + jnp.abs(jac[:, 0, 1]), 1.0, _AA_MAX_WIDTH
+            jnp.sqrt(jac[:, 0, 0] ** 2 + jac[:, 0, 1] ** 2), 1.0, _AA_MAX_WIDTH
         )
         width_y = jnp.clip(
-            jnp.abs(jac[:, 1, 0]) + jnp.abs(jac[:, 1, 1]), 1.0, _AA_MAX_WIDTH
+            jnp.sqrt(jac[:, 1, 0] ** 2 + jac[:, 1, 1] ** 2), 1.0, _AA_MAX_WIDTH
         )
     else:
         width_x = width_y = jnp.ones((b,), jnp.float32)
@@ -294,11 +344,13 @@ def warp_bilinear(
     if pallas and c == 1 and h % 8 == 0 and w % min(w, 256) == 0 and h <= 512 and w <= 512:
         # Fused VMEM kernel (ops/pallas/warp.py): same tent contraction
         # without the HBM [chunk, W, H'] intermediate. Single-channel only;
-        # differentiable in images only (g_inv is RNG-derived here).
+        # differentiable in images only — coordinates/widths are
+        # stop_gradient'd here (see docstring).
         from one_to_many_gan_tpu.ops.pallas.warp import warp_pallas
 
+        sg = jax.lax.stop_gradient
         out = warp_pallas(
-            images[..., 0], sx, sy, width_x, width_y, antialias
+            images[..., 0], sg(sx), sg(sy), sg(width_x), sg(width_y), antialias
         )
         return out[..., None]
 
@@ -400,6 +452,7 @@ def augment(
     *,
     antialias: bool = True,
     pallas: bool = False,
+    mesh=None,
 ) -> jax.Array:
     """Differentiable ADA augmentation of an NHWC image batch.
 
@@ -408,7 +461,9 @@ def augment(
     low-pass-filters minifying geometric transforms (the published ADA
     pipeline's supersampled warp contract); see ``warp_bilinear``.
     ``pallas`` routes the geometric warp through the fused VMEM kernel
-    (tpu.ada_pallas; single-channel images).
+    (tpu.ada_pallas; single-channel images); pass ``mesh`` when a
+    data-parallel mesh is active so the kernel runs shard_map'd over the
+    batch axis (see ``warp_bilinear``).
     """
     cats = frozenset(categories)
     b, h, w, c = images.shape
@@ -417,7 +472,7 @@ def augment(
     out = images
     if cats & {"xflip", "rotate90", "xint", "scale", "rotate", "aniso", "xfrac"}:
         g_inv = geometric_matrix(k_geom, b, h, w, p, cats)
-        out = warp_bilinear(out, g_inv, antialias=antialias, pallas=pallas)
+        out = warp_bilinear(out, g_inv, antialias=antialias, pallas=pallas, mesh=mesh)
     if cats & {"brightness", "contrast", "lumaflip", "hue", "saturation"}:
         cmat = color_matrix(k_color, b, c, p, cats)
         out = apply_color(out, cmat)

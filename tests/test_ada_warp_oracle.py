@@ -53,7 +53,7 @@ def torch_warp(images_nhwc: np.ndarray, g_inv: np.ndarray) -> np.ndarray:
 
 def torch_warp_antialiased(images_nhwc: np.ndarray, g_inv: np.ndarray) -> np.ndarray:
     """Oracle for the adaptive-width kernel spec, written independently:
-    per-axis width = clip(L1 row norm of the Jacobian, 1, MAX), kernel
+    per-axis width = clip(L2 row norm of the Jacobian, 1, MAX), kernel
     tent(d/w), normalized by its full-grid sum, out-of-frame taps read 0.
     """
     imgs = images_nhwc.astype(np.float64)
@@ -61,8 +61,8 @@ def torch_warp_antialiased(images_nhwc: np.ndarray, g_inv: np.ndarray) -> np.nda
     out = np.zeros_like(imgs)
     for i in range(b):
         g = np.asarray(g_inv[i], dtype=np.float64)
-        wx = float(np.clip(abs(g[0, 0]) + abs(g[0, 1]), 1.0, _AA_MAX_WIDTH))
-        wy = float(np.clip(abs(g[1, 0]) + abs(g[1, 1]), 1.0, _AA_MAX_WIDTH))
+        wx = float(np.clip(np.hypot(g[0, 0], g[0, 1]), 1.0, _AA_MAX_WIDTH))
+        wy = float(np.clip(np.hypot(g[1, 0], g[1, 1]), 1.0, _AA_MAX_WIDTH))
         for oy in range(h):
             for ox in range(w):
                 cx, cy = ox - (w - 1) / 2.0, oy - (h - 1) / 2.0
