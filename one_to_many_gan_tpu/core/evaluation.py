@@ -12,7 +12,19 @@ format (:269-308), the 9x8 translation grid and 5x8 decoding grid
 - the val log line is appended to ``<run>/log`` (the reference tries to
   open its ``<run>/log`` *directory path* variant — latent bug noted in
   SURVEY.md §2 item 20);
-- FID/KID come from metrics/ (pluggable extractor) instead of clean-fid.
+- FID/KID come from metrics/ (pluggable extractor) instead of clean-fid;
+- REALS PROTOCOL: the Trainer passes the dataset-resized uint8 array as
+  the real side, so reals go through the loader's PIL-bilinear resize
+  once, then the extractor's own 299-bicubic. The reference hands
+  clean-fid the raw shoemark *train directory* (original files,
+  clean-fid's bicubic from the originals;
+  reference src/core/evaluation.py:64-69). Identical images on both
+  sides of the comparison within a run; absolute numbers against an
+  external clean-fid run require feeding the original directory
+  (``real_images=None`` falls back to exactly that);
+- every FID line is tagged with the extractor name in metrics.jsonl and
+  the text log, so random-projection (relative-only) numbers cannot be
+  mistaken for Inception FID.
 
 The 1->N sweep in ``image_checkpoint`` runs as ONE batched decode per
 source (the reference's ``.expand(8, ...)`` trick, made explicit).
@@ -27,7 +39,7 @@ import jax
 import numpy as np
 
 from one_to_many_gan_tpu.config import Config
-from one_to_many_gan_tpu.core.state import Models, TrainState
+from one_to_many_gan_tpu.core.state import Models, TrainState, eval_params_g
 from one_to_many_gan_tpu.models import apply_domain, sample_style_rngs
 
 
@@ -170,6 +182,9 @@ def image_checkpoint(
     import jax.numpy as jnp
 
     gen, mapping, extractor = models.generator, models.mapping, models.extractor
+    # EMA generator weights when enabled (what EMA is for); the mapping
+    # network and style extractor have no EMA (only G is tracked).
+    params_g = eval_params_g(state)
     n_blocks, w_dim = models.n_style_blocks, models.w_dim
     out_dir = _run_dir(config) / "images"
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -184,8 +199,8 @@ def image_checkpoint(
         1.0,
     )
 
-    print_latents = gen.apply(state.params_g, prints, method="encode")
-    mark_latents = gen.apply(state.params_g, marks, method="encode")
+    print_latents = gen.apply(params_g, prints, method="encode")
+    mark_latents = gen.apply(params_g, marks, method="encode")
 
     # Translation grid: per column, ONE source x 8 styles in one decode.
     columns = []
@@ -193,22 +208,22 @@ def image_checkpoint(
         latent_n = jnp.broadcast_to(
             print_latents[col][None], (8, *print_latents.shape[1:])
         )
-        sweep = np.asarray(gen.apply(state.params_g, latent_n, w, method="decode"))
+        sweep = np.asarray(gen.apply(params_g, latent_n, w, method="decode"))
         columns.append([np.asarray(prints[col]), *list(sweep)])
     save_grid(columns, out_dir / f"translation_{step + 1}.png", (9, 8))
 
     # Decoding grid.
     w0 = jnp.zeros((n_blocks, 8, w_dim), jnp.float32)
     recon_prints = np.asarray(
-        gen.apply(state.params_g, print_latents, w0, method="decode")
+        gen.apply(params_g, print_latents, w0, method="decode")
     )
     mark_w = extractor.apply(state.params_s, marks)
     mark_w_stack = jnp.broadcast_to(mark_w[None], (n_blocks, *mark_w.shape))
     recon_marks = np.asarray(
-        gen.apply(state.params_g, mark_latents, mark_w_stack, method="decode")
+        gen.apply(params_g, mark_latents, mark_w_stack, method="decode")
     )
     translated = np.asarray(
-        gen.apply(state.params_g, print_latents, mark_w_stack, method="decode")
+        gen.apply(params_g, print_latents, mark_w_stack, method="decode")
     )
     decoding = [
         [
@@ -232,15 +247,30 @@ def val_checkpoint(
     rng: jax.Array,
     *,
     real_images: np.ndarray | None = None,
+    reals_cache: dict | None = None,
 ) -> tuple[float, float]:
     """Generate n_evaluation_images at θ=1 (no mixing), save PNGs, compute
-    FID/KID vs the shoemark train set, append the log line."""
+    FID/KID vs the shoemark train set, append the log line.
+
+    ``reals_cache``: pass a (per-run) dict to reuse the real-side features
+    across checkpoints — the reals never change within a run, and the
+    extractor pass over them is the expensive half of FID. Features are
+    computed ONCE per image set here and shared between FID and KID
+    (clean-fid recomputes per metric).
+    """
     import jax.numpy as jnp
     from PIL import Image
 
-    from one_to_many_gan_tpu.metrics import compute_fid, compute_kid, default_extractor
+    from one_to_many_gan_tpu.metrics import default_extractor
+    from one_to_many_gan_tpu.metrics.fid import (
+        _load_dir,
+        compute_stats,
+        frechet_distance,
+        kernel_distance,
+    )
 
     gen, mapping = models.generator, models.mapping
+    params_g = eval_params_g(state)  # EMA weights when enabled
     n_blocks, w_dim = models.n_style_blocks, models.w_dim
     val_dir = _run_dir(config) / "val"
     val_dir.mkdir(parents=True, exist_ok=True)
@@ -263,7 +293,7 @@ def val_checkpoint(
     for it in range(math.ceil(n_eval / batch)):
         images = jnp.asarray(next(shoeprint_val_iter))
         key = jax.random.fold_in(rng, it)
-        out = np.asarray(translate(state.params_g, state.params_m, images, key))
+        out = np.asarray(translate(params_g, state.params_m, images, key))
         out_u8 = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
         for img in out_u8:
             Image.fromarray(img.squeeze(-1)).save(val_dir / f"{i}.png")
@@ -272,21 +302,46 @@ def val_checkpoint(
     generated = np.concatenate(generated)[:n_eval]
 
     extractor, extractor_name = default_extractor()
-    reals = (
-        real_images
-        if real_images is not None
-        else str(config["data"]["shoemark_data_dir"] / "train")
+    gen_feats = extractor(generated)
+    if reals_cache is not None and extractor_name in reals_cache:
+        real_feats = reals_cache[extractor_name]
+    else:
+        reals = (
+            real_images
+            if real_images is not None
+            else _load_dir(config["data"]["shoemark_data_dir"] / "train")
+        )
+        real_feats = extractor(reals)
+        if reals_cache is not None:
+            reals_cache[extractor_name] = real_feats
+    fid_score = frechet_distance(
+        compute_stats(gen_feats), compute_stats(real_feats)
     )
-    fid_score = compute_fid(generated, reals, extractor)
-    kid_score = compute_kid(
-        generated, reals, extractor,
-        subset_size=min(1000, n_eval),
+    kid_score = kernel_distance(
+        gen_feats, real_feats, subset_size=min(1000, n_eval)
     )
 
-    log = f"Step {step + 1} | fid: {fid_score}, kid: {kid_score}"
-    print(log + f"  [{extractor_name}]")
+    # The extractor tag rides every sink: random_projection_* numbers are
+    # valid for relative tracking only and must never be read as
+    # Inception FID (metrics/fid.py).
+    log = f"Step {step + 1} | fid: {fid_score}, kid: {kid_score} [{extractor_name}]"
+    print(log)
     run_dir = _run_dir(config)
     run_dir.mkdir(parents=True, exist_ok=True)
     with (run_dir / "log").open("a") as f:
         f.write(log + "\n")
+    import json
+
+    with (run_dir / "metrics.jsonl").open("a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "step": step + 1,
+                    "fid": fid_score,
+                    "kid": kid_score,
+                    "fid_extractor": extractor_name,
+                }
+            )
+            + "\n"
+        )
     return fid_score, kid_score

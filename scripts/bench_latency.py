@@ -16,7 +16,11 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-from one_to_many_gan_tpu.core.state import Models, init_train_state  # noqa: E402
+from one_to_many_gan_tpu.core.state import (  # noqa: E402
+    Models,
+    eval_params_g,
+    init_train_state,
+)
 from one_to_many_gan_tpu.core.train_step import make_inference_fns  # noqa: E402
 from one_to_many_gan_tpu.presets import tiny_config  # noqa: E402
 
@@ -28,18 +32,19 @@ def main():
     state = init_train_state(config, models, jax.random.key(0))
     _, one_to_many = make_inference_fns(config, models)
     fn = jax.jit(one_to_many, static_argnums=4)
+    params_g = eval_params_g(state)  # EMA weights when enabled
 
     img = jax.device_put(
         np.random.default_rng(0).standard_normal((256, 256, 1)).astype(np.float32)
     )
     for n in (8, 64):
         # warm
-        np.asarray(fn(state.params_g, state.params_m, img, jax.random.key(0), n))
+        np.asarray(fn(params_g, state.params_m, img, jax.random.key(0), n))
         times = []
         for i in range(9):
             t0 = time.perf_counter()
             out = np.asarray(
-                fn(state.params_g, state.params_m, img, jax.random.key(i), n)
+                fn(params_g, state.params_m, img, jax.random.key(i), n)
             )
             times.append((time.perf_counter() - t0) * 1000)
         p50 = sorted(times)[len(times) // 2]
