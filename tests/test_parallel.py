@@ -62,11 +62,12 @@ def test_dp_step_matches_single_device(setup):
     # single device
     s1, m1 = jax.jit(step)(state, Batches(*map(jnp.asarray, batches)), rng)
 
-    # 8-way data parallel
+    # 8-way data parallel (mesh-aware step: buffer all-gather-once etc.)
     mesh = make_mesh(8, 1)
+    step8 = make_train_step(config, models, mesh)
     state_r = replicate(mesh, state)
     batches_r = Batches(*(shard_batch(mesh, b) for b in batches))
-    s2, m2 = jax.jit(step)(state_r, batches_r, rng)
+    s2, m2 = jax.jit(step8)(state_r, batches_r, rng)
 
     for k in m1:
         np.testing.assert_allclose(
@@ -108,9 +109,10 @@ def test_dp_plus_spatial_step_matches_single_device(tmp_path):
     s1, m1 = jax.jit(step)(state, Batches(*map(jnp.asarray, batches)), rng)
 
     mesh = make_mesh(4, 2)
+    step_mesh = make_train_step(config, models, mesh)
     state_r = replicate(mesh, state)
     batches_r = Batches(*(shard_batch(mesh, b) for b in batches))
-    s2, m2 = jax.jit(step)(state_r, batches_r, rng)
+    s2, m2 = jax.jit(step_mesh)(state_r, batches_r, rng)
 
     for k in m1:
         np.testing.assert_allclose(
@@ -143,12 +145,51 @@ def test_batch_sharding_layout(setup):
 
 def test_spatial_config_disables_head_s2d(tmp_path):
     """Models built from a spatial_parallel>1 config must turn off the
-    head convs' space-to-depth (it partitions incorrectly under XLA SPMD
-    H-sharding — this is the regression guard for that silent-wrongness)."""
+    generator head conv's space-to-depth (it partitions incorrectly under
+    XLA SPMD H-sharding — this is the regression guard for that
+    silent-wrongness). The discriminator head never uses s2d (its 4x4
+    pad-1 conv output is odd-sized; models/discriminator.py)."""
     cfg_sp = load_config(
         write_tiny_config(
             tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
         )
     )
     assert Models(cfg_sp).generator.head_s2d == 0
-    assert Models(cfg_sp).discriminator.head_s2d == 0
+
+
+def test_dp_step_with_pallas_warp_matches_single_device(tmp_path):
+    """ada_pallas under pure data parallelism: the kernel runs shard_map'd
+    over the batch axis (a pallas_call has no SPMD partitioning rule —
+    without the wrap XLA would all-gather and replicate it, ADVICE r2).
+    Must compute the SAME step as one device with the kernel active."""
+    config = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nada_pallas = true\n"
+        )
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    batches = _batches(config, seed=2)
+    rng = jax.random.key(7)
+
+    step1 = make_train_step(config, models)  # no mesh: plain pallas call
+    s1, m1 = jax.jit(step1)(state, Batches(*map(jnp.asarray, batches)), rng)
+
+    mesh = make_mesh(8, 1)
+    step8 = make_train_step(config, models, mesh)
+    state_r = replicate(mesh, state)
+    batches_r = Batches(*(shard_batch(mesh, b) for b in batches))
+    s2, m2 = jax.jit(step8)(state_r, batches_r, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged under DP with ada_pallas",
+        )
+    lr = config["optimisation"]["learning_rate"]
+    for a, b in zip(
+        jax.tree.leaves(s1.params_d), jax.tree.leaves(s2.params_d), strict=True
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5 * lr
+        )
