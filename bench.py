@@ -48,6 +48,10 @@ REMAT = {"0": "none", "1": "full"}.get(
 )
 WARMUP_STEPS = 3
 MEASURE_STEPS = int(os.environ.get("OTM_BENCH_STEPS", "20"))
+# Split D/G into two jitted programs (halved per-program activation peak,
+# one extra dispatch per step) — the 512^2 memory/batch lever.
+SPLIT = os.environ.get("OTM_BENCH_SPLIT", "0") == "1"
+REMAT_D = os.environ.get("OTM_BENCH_REMAT_D", "same")
 
 
 def main() -> None:
@@ -69,44 +73,79 @@ def main() -> None:
         tpu={
             "precision": PRECISION,
             "remat": REMAT,
+            "remat_d": REMAT_D,
+            "split_phases": SPLIT,
             # default ON: the fused VMEM warp kernel is exactness-tested
             # against the XLA path and measured +3% end-to-end (the bench
             # is single-chip; the kernel is gated off under spatial
             # sharding in Trainer)
             "ada_pallas": os.environ.get("OTM_BENCH_ADA_PALLAS", "1") == "1",
+            "s2d_pack": os.environ.get("OTM_BENCH_S2D_PACK", "0") == "1",
         },
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
-    # scan K steps per jitted call (the production inner loop) to amortize
-    # per-call dispatch overhead
-    k = int(os.environ.get("OTM_BENCH_STEPS_PER_CALL", "10"))
-    step = jax.jit(make_multi_step(config, models, k), donate_argnums=0)
-
     rng = np.random.default_rng(0)
 
-    def mk():
-        return jax.device_put(
-            (rng.random((k, BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)) * 2 - 1).astype(
-                np.float32
+    if SPLIT:
+        from one_to_many_gan_tpu.core.train_step import make_phase_fns
+
+        d_phase, g_phase = make_phase_fns(config, models)
+        d_jit = jax.jit(d_phase, donate_argnums=0)
+        g_jit = jax.jit(g_phase, donate_argnums=0)
+
+        def mk1():
+            return jax.device_put(
+                (rng.random((BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)) * 2 - 1).astype(
+                    np.float32
+                )
             )
-        )
 
-    batches = Batches(mk(), mk(), mk(), mk())
+        batches1 = Batches(mk1(), mk1(), mk1(), mk1())
 
-    state, metrics = step(state, batches, jax.random.split(jax.random.key(9), k))
-    float(metrics["total_gen_loss"][-1])  # real sync (host read)
+        def run_step(state, key):
+            state, dm = d_jit(state, batches1, key)
+            state, gm = g_jit(state, batches1, key, dm["ada_p"])
+            return state, gm
 
-    n_calls = max(1, MEASURE_STEPS // k)
-    t0 = time.perf_counter()
-    for i in range(n_calls):
+        state, gm = run_step(state, jax.random.key(9))
+        float(gm["total_gen_loss"])  # real sync (host read)
+        t0 = time.perf_counter()
+        for i in range(MEASURE_STEPS):
+            state, gm = run_step(state, jax.random.key(100 + i))
+        float(gm["total_gen_loss"])  # real sync (host read)
+        dt = time.perf_counter() - t0
+        images_per_sec = BATCH * MEASURE_STEPS / dt
+        k = 1
+    else:
+        # scan K steps per jitted call (the production inner loop) to
+        # amortize per-call dispatch overhead
+        k = int(os.environ.get("OTM_BENCH_STEPS_PER_CALL", "10"))
+        step = jax.jit(make_multi_step(config, models, k), donate_argnums=0)
+
+        def mk():
+            return jax.device_put(
+                (rng.random((k, BATCH, IMAGE_SIZE, IMAGE_SIZE, 1)) * 2 - 1).astype(
+                    np.float32
+                )
+            )
+
+        batches = Batches(mk(), mk(), mk(), mk())
+
         state, metrics = step(
-            state, batches, jax.random.split(jax.random.key(100 + i), k)
+            state, batches, jax.random.split(jax.random.key(9), k)
         )
-    float(metrics["total_gen_loss"][-1])  # real sync (host read)
-    dt = time.perf_counter() - t0
+        float(metrics["total_gen_loss"][-1])  # real sync (host read)
 
-    images_per_sec = BATCH * k * n_calls / dt
+        n_calls = max(1, MEASURE_STEPS // k)
+        t0 = time.perf_counter()
+        for i in range(n_calls):
+            state, metrics = step(
+                state, batches, jax.random.split(jax.random.key(100 + i), k)
+            )
+        float(metrics["total_gen_loss"][-1])  # real sync (host read)
+        dt = time.perf_counter() - t0
+        images_per_sec = BATCH * k * n_calls / dt
     print(
         json.dumps(
             {

@@ -94,6 +94,18 @@ class TpuConfig(TypedDict):
     #            ~full forward recompute).
     # Booleans are accepted for back-compat: False -> "none", True -> "full".
     remat: str
+    # Remat override for the DISCRIMINATOR phase ("same" follows `remat`).
+    # The D phase's live activations are a fraction of the G phase's (one
+    # backward pass vs ~11), so under split_phases the D phase usually
+    # runs remat-free while the G phase keeps "conv".
+    remat_d: str
+    # Run the D update and G update as TWO separately jitted programs
+    # instead of one fused step. Costs one extra dispatch per step
+    # (~30 ms through a tunnel/DCN host) but halves each program's peak
+    # live-activation memory — the 512² lever (BASELINE.md). Bit-identical
+    # math (both programs derive the same per-step RNG split). Forces
+    # steps_per_call = 1.
+    split_phases: bool
     # Fused steps executed per jitted call (lax.scan inner loop). Amortizes
     # host dispatch overhead; clamped to divide the log/checkpoint
     # intervals so cadences are preserved.
@@ -116,6 +128,16 @@ class TpuConfig(TypedDict):
     # device_puts the next groups of batches while the device runs the
     # current K-step program (0 disables).
     prefetch: int
+    # Space-to-depth-pack the low-channel large-spatial 3x3 convs
+    # (encoder first level / decoder last level): 2x2@4C conv at half
+    # resolution, 16/9 the FLOPs at a much higher MXU rate
+    # (ops/equalized.py conv3x3_s2d_packed). Disabled automatically under
+    # spatial sharding.
+    s2d_pack: bool
+    # Persistent XLA compilation cache directory ("" disables). Set by the
+    # Trainer so crash-restarted runs (infinite_run.sh + tpu.resume) reuse
+    # compiled executables instead of paying the multi-minute recompile.
+    compilation_cache_dir: str
 
 
 class Config(TypedDict):
@@ -138,6 +160,8 @@ _TPU_DEFAULTS: TpuConfig = {
     "r1_gamma": 0.0,
     "r1_interval": 16,
     "remat": "none",
+    "remat_d": "same",
+    "split_phases": False,
     "steps_per_call": 1,
     "resume": True,
     "native_loader": False,
@@ -145,6 +169,8 @@ _TPU_DEFAULTS: TpuConfig = {
     "ada_antialias": True,
     "ada_pallas": False,
     "prefetch": 2,
+    "s2d_pack": False,
+    "compilation_cache_dir": "/tmp/jax_cache",
 }
 
 _REQUIRED_SECTIONS = (
@@ -178,6 +204,10 @@ def _validate(config: dict[str, Any]) -> None:
         config["tpu"]["remat"] = remat
     if remat not in ("none", "conv", "full"):
         msg = f"tpu.remat must be none|conv|full (or bool), got {remat!r}"
+        raise ValueError(msg)
+    remat_d = config["tpu"]["remat_d"]
+    if remat_d not in ("same", "none", "conv", "full"):
+        msg = f"tpu.remat_d must be same|none|conv|full, got {remat_d!r}"
         raise ValueError(msg)
 
 

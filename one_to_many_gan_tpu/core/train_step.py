@@ -44,8 +44,27 @@ class Batches(NamedTuple):
     g_shoemarks: jax.Array
 
 
-def make_train_step(config: Config, models: Models):
-    """Build the pure (state, batches, rng) -> (state, metrics) step."""
+def make_phase_fns(config: Config, models: Models, mesh=None):
+    """Build the two optimizer updates as separate pure functions.
+
+        d_phase(state, batches, rng)         -> (state, d_metrics)
+        g_phase(state, batches, rng, p_used) -> (state, g_metrics)
+
+    ``make_train_step`` composes them into the fused single-program step;
+    ``tpu.split_phases`` runs them as two separate jitted programs (the
+    512² memory lever: each program's live-activation peak is its own
+    phase's, enabling larger batches without remat — BASELINE.md).
+    Both phases derive the SAME ``jax.random.split(rng, 10)`` layout (D
+    consumes keys 0-3, G keys 4-9), so split and fused execution are
+    bit-identical. ``p_used`` is the ADA probability ENTERING the
+    iteration (the reference sets it once for both sub-steps,
+    train.py:206); d_phase reports it as ``d_metrics["ada_p"]``.
+
+    ``mesh``: the active device mesh, if any. Only the batch-sequential
+    ops need it (the shard_map'd Pallas/XLA ADA warp, the buffer's
+    all-gather-once path); every other op is written on global arrays
+    and partitioned by XLA's SPMD pass.
+    """
     opt_cfg = config["optimisation"]
     ada_cfg = config["ada"]
     train_cfg = config["training"]
@@ -93,25 +112,34 @@ def make_train_step(config: Config, models: Models):
     #            activation footprint severalfold for a few % extra
     #            bandwidth-bound FLOPs — the knob that unlocks the larger,
     #            MXU-friendlier batches measured in BASELINE.md.
-    remat_mode = tpu_cfg["remat"]
-    if remat_mode == "full":
-        ckpt = jax.checkpoint
-    elif remat_mode == "conv":
-        from jax.ad_checkpoint import checkpoint_policies
+    def _make_ckpt(mode: str):
+        if mode == "full":
+            return jax.checkpoint
+        if mode == "conv":
+            from jax.ad_checkpoint import checkpoint_policies
 
-        def ckpt(f):
-            return jax.checkpoint(
-                f, policy=checkpoint_policies.save_only_these_names("conv_out")
-            )
-    else:
-        def ckpt(f):
-            return f
+            def ckpt(f):
+                return jax.checkpoint(
+                    f,
+                    policy=checkpoint_policies.save_only_these_names("conv_out"),
+                )
+
+            return ckpt
+        return lambda f: f
+
+    remat_g_mode = tpu_cfg["remat"]
+    remat_d_mode = tpu_cfg["remat_d"]
+    if remat_d_mode == "same":
+        remat_d_mode = remat_g_mode
+    ckpt = _make_ckpt(remat_g_mode)  # G phase (the ~11-pass backward)
+    ckpt_d = _make_ckpt(remat_d_mode)  # D phase (one D backward)
 
     gen_encode = ckpt(lambda p, img: gen.apply(p, img, method="encode"))
     gen_decode = ckpt(lambda p, z, ws: gen.apply(p, z, ws, method="decode"))
     gen_extract = ckpt(lambda p, z, ws: gen.apply(p, z, ws, method="extract"))
     ext_apply = ckpt(lambda p, img: extractor.apply(p, img))
     disc_apply = ckpt(lambda p, img: disc.apply(p, img))
+    disc_apply_d = ckpt_d(lambda p, img: disc.apply(p, img))
 
     def sample_w(params_m, rng, batch, domain, *, mix=True):
         rngs = sample_style_rngs(rng, batch, w_dim, n_blocks, mixing_prob)
@@ -119,21 +147,19 @@ def make_train_step(config: Config, models: Models):
                           method="style_vector")
         return apply_domain(s, domain)
 
-    def train_step(
+    def d_phase(
         state: TrainState, batches: Batches, rng: jax.Array
     ) -> tuple[TrainState, dict[str, jax.Array]]:
         batch = batches.d_shoeprints.shape[0]
         keys = jax.random.split(rng, 10)
         p_used = state.ada.p
-
-        # ---------------------------------------------------- D update
         w_d = sample_w(state.params_m, keys[0], batch, 1.0)
         fakes = gen.apply(state.params_g, batches.d_shoeprints, w_d)
         fakes = jax.lax.stop_gradient(fakes.astype(jnp.float32))
-        buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1])
+        buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1], mesh)
         aug_fake = augment(
             buffered.astype(aug_dtype), p_used, keys[2],
-            antialias=ada_antialias, pallas=ada_pallas,
+            antialias=ada_antialias, pallas=ada_pallas, mesh=mesh,
         )
         aug_real = augment(
             batches.d_shoemarks.astype(aug_dtype),
@@ -141,6 +167,7 @@ def make_train_step(config: Config, models: Models):
             keys[3],
             antialias=ada_antialias,
             pallas=ada_pallas,
+            mesh=mesh,
         )
 
         def d_loss_fn(params_d):
@@ -148,7 +175,7 @@ def make_train_step(config: Config, models: Models):
             # cross-batch ops (per-sample IN, convs), so scoring the
             # concatenation is per-sample identical to two passes
             # (training.py:107-108) while doubling the MXU batch.
-            scores = disc_apply(
+            scores = disc_apply_d(
                 params_d, jnp.concatenate([aug_fake, aug_real], axis=0)
             ).astype(jnp.float32)
             fake_scores, real_scores = jnp.split(scores, 2, axis=0)
@@ -165,9 +192,14 @@ def make_train_step(config: Config, models: Models):
             # so off-interval steps genuinely skip the compute (the point of
             # lazy regularization; jnp.where would pay it every step).
             def r1_branch(params_d):
+                # The penalty differentiates D w.r.t. the IMAGES and squares
+                # the result — compute it on f32 inputs even when the augment
+                # pipe runs bf16 (squaring bf16-rounded gradients loses real
+                # precision; the lazy interval makes the extra cost nil).
+                r1_real = aug_real.astype(jnp.float32)
                 loss_p, grads_p = jax.value_and_grad(
                     lambda p: (r1_gamma / 2.0)
-                    * losses.r1_penalty(disc.apply, p, aug_real)
+                    * losses.r1_penalty(disc.apply, p, r1_real)
                 )(params_d)
                 return loss_p, grads_p
 
@@ -188,8 +220,21 @@ def make_train_step(config: Config, models: Models):
         sign_real = losses.discriminator_confidence(real_scores)
         sign_fake = -losses.discriminator_confidence(fake_scores)
         ada_state = ada_update(state.ada, sign_real)
+        new_state = state.replace(
+            params_d=params_d, opt_d=opt_d, ada=ada_state, buffer=buffer_state
+        )
+        return new_state, {
+            "disc_loss": d_loss,
+            "disc_real_acc": sign_real,
+            "disc_fake_acc": sign_fake,
+            "ada_p": p_used,
+        }
 
-        # ---------------------------------------------------- G update
+    def g_phase(
+        state: TrainState, batches: Batches, rng: jax.Array, p_used: jax.Array
+    ) -> tuple[TrainState, dict[str, jax.Array]]:
+        batch = batches.g_shoeprints.shape[0]
+        keys = jax.random.split(rng, 10)  # same layout as d_phase; G uses 4-9
         theta = jax.random.uniform(keys[4], (batch,))
         fin_diff_h = jax.random.uniform(
             keys[5], (batch,), minval=gran_lo, maxval=gran_hi
@@ -237,9 +282,10 @@ def make_train_step(config: Config, models: Models):
             # GAN: augment the translations, score with the UPDATED D.
             aug_gen = augment(
                 generated.astype(aug_dtype), p_used, keys[8],
-                antialias=ada_antialias, pallas=ada_pallas,
+                antialias=ada_antialias, pallas=ada_pallas, mesh=mesh,
             )
-            gen_scores = disc_apply(params_d, aug_gen).astype(jnp.float32)
+            # scores from the UPDATED discriminator (state.params_d here)
+            gen_scores = disc_apply(state.params_d, aug_gen).astype(jnp.float32)
             gan = losses.lsgan_g_loss(gen_scores)
 
             # Style cycle: re-extract the style from the fakes.
@@ -296,34 +342,39 @@ def make_train_step(config: Config, models: Models):
                 params_g,
             )
 
-        new_state = TrainState(
+        new_state = state.replace(
             step=state.step + 1,
             params_g=params_g,
-            params_d=params_d,
             params_m=params_m,
             params_s=params_s,
             opt_g=opt_g,
-            opt_d=opt_d,
             opt_m=opt_m,
             opt_s=opt_s,
-            ada=ada_state,
-            buffer=buffer_state,
             ema_params_g=ema_params_g,
         )
-        metrics = {
-            "disc_loss": d_loss,
-            "disc_real_acc": sign_real,
-            "disc_fake_acc": sign_fake,
-            "total_gen_loss": total_g,
-            "ada_p": p_used,
-            **aux,
-        }
+        metrics = {"total_gen_loss": total_g, **aux}
         return new_state, metrics
+
+    return d_phase, g_phase
+
+
+def make_train_step(config: Config, models: Models, mesh=None):
+    """The fused (state, batches, rng) -> (state, metrics) step: D update
+    then G update in ONE XLA program (module docstring semantics)."""
+    d_phase, g_phase = make_phase_fns(config, models, mesh)
+
+    def train_step(
+        state: TrainState, batches: Batches, rng: jax.Array
+    ) -> tuple[TrainState, dict[str, jax.Array]]:
+        p_used = state.ada.p
+        state, d_metrics = d_phase(state, batches, rng)
+        state, g_metrics = g_phase(state, batches, rng, p_used)
+        return state, {**d_metrics, **g_metrics}
 
     return train_step
 
 
-def make_multi_step(config: Config, models: Models, steps_per_call: int):
+def make_multi_step(config: Config, models: Models, steps_per_call: int, mesh=None):
     """Scan ``steps_per_call`` fused steps inside ONE jitted program.
 
     Amortizes per-call dispatch/transfer overhead (significant on hosts far
@@ -333,7 +384,7 @@ def make_multi_step(config: Config, models: Models, steps_per_call: int):
     loop key at each global step) and batches stacked on a leading [K]
     axis. Returns metrics stacked [K, ...].
     """
-    step = make_train_step(config, models)
+    step = make_train_step(config, models, mesh)
 
     def multi_step(state: TrainState, batches: Batches, keys: jax.Array):
         def body(s, xs):

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +97,13 @@ class Trainer:
     ):
         self.config = config
         self.verbose = verbose
+        # Persistent compilation cache: the fused step takes minutes to
+        # compile on TPU; a restarted run (infinite_run.sh / tpu.resume)
+        # must reuse the cached executable instead of recompiling.
+        cache_dir = config["tpu"]["compilation_cache_dir"]
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         self.models = Models(config)
 
         # Inner-loop length: scan K fused steps per jitted call, clamped so
@@ -103,6 +111,11 @@ class Trainer:
         import math
 
         k_req = max(1, config["tpu"]["steps_per_call"])
+        if config["tpu"]["split_phases"]:
+            # Two separately-dispatched programs per step can't live inside
+            # one scan; the split trades the K-step fusion for per-program
+            # memory peaks (the 512² lever).
+            k_req = 1
         k = math.gcd(
             math.gcd(k_req, config["evaluation"]["log_interval"]),
             config["evaluation"]["checkpoint_interval"],
@@ -119,7 +132,9 @@ class Trainer:
         if config["tpu"]["ada_pallas"] and config["tpu"]["spatial_parallel"] > 1:
             # The Pallas warp kernel needs the full image rows on one
             # device; under H-sharding the XLA tent-contraction path (which
-            # XLA partitions with collectives) is the correct one.
+            # XLA partitions with collectives) is the correct one. Pure
+            # data parallelism is fine: the kernel runs shard_map'd over
+            # the batch axis (augment/pipeline.py warp_bilinear).
             import warnings
 
             warnings.warn(
@@ -128,15 +143,11 @@ class Trainer:
                 stacklevel=2,
             )
             config["tpu"]["ada_pallas"] = False
-        self.step_fn = self._jit_step(k)
-
-        seed = config["training"]["random_seed"]
-        self.base_rng = jax.random.key(seed)
-        init_rng, self.loop_rng = jax.random.split(self.base_rng)
-        self.state = init_train_state(config, self.models, init_rng)
 
         # Mesh (single-device when the product is 1). Data parallelism is
-        # clamped to the largest value dividing the batch size.
+        # clamped to the largest value dividing the batch size. Built
+        # BEFORE the step program: the Pallas ADA warp needs the mesh at
+        # trace time (shard_map over the data axis).
         dp = config["tpu"]["data_parallel"]
         sp = config["tpu"]["spatial_parallel"]
         n_dev = len(jax.devices())
@@ -155,6 +166,17 @@ class Trainer:
                 stacklevel=2,
             )
         self.mesh = make_mesh(dp, sp) if dp * sp > 1 else None
+
+        # One jitted program per group length K, cached — the tail group of
+        # a run whose total isn't a K-multiple must not trigger a fresh
+        # multi-minute compile every restart (and never twice per process).
+        self._step_fns: dict[int, Any] = {}
+        self.step_fn = self._get_step_fn(k)
+
+        seed = config["training"]["random_seed"]
+        self.base_rng = jax.random.key(seed)
+        init_rng, self.loop_rng = jax.random.split(self.base_rng)
+        self.state = init_train_state(config, self.models, init_rng)
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
 
@@ -223,6 +245,7 @@ class Trainer:
         )
 
         self.logger = Logger(config["training"]["training_steps"])
+        self._reals_cache: dict = {}  # FID real-side features, per extractor
         self.ckpt_mgr = _checkpoint_manager(config)
         if config["tpu"]["resume"]:
             self.state, self.start_step = restore_checkpoint(self.ckpt_mgr, self.state)
@@ -233,6 +256,14 @@ class Trainer:
 
     # ------------------------------------------------------------ loop
 
+    def _get_step_fn(self, k: int):
+        """The jitted K-step program, cached per K (tail groups reuse it)."""
+        if k not in self._step_fns:
+            if self.verbose and self._step_fns:
+                print(f"building step program for group length {k}")
+            self._step_fns[k] = self._jit_step(k)
+        return self._step_fns[k]
+
     def _jit_step(self, k: int):
         """Jit the K-step program behind a fused uint8 -> [-1,1] cast.
 
@@ -241,20 +272,43 @@ class Trainer:
         normalization (data/pipeline.py normalize_u8) fuses into the
         batches' first use inside the same XLA program.
         """
+        def normalize(batches_u8: Batches) -> Batches:
+            return Batches(
+                *(x.astype(jnp.float32) / 127.5 - 1.0 for x in batches_u8)
+            )
+
+        if self.config["tpu"]["split_phases"]:
+            from one_to_many_gan_tpu.core.train_step import make_phase_fns
+
+            d_phase, g_phase = make_phase_fns(
+                self.config, self.models, self.mesh
+            )
+            d_jit = jax.jit(
+                lambda s, b, r: d_phase(s, normalize(b), r), donate_argnums=0
+            )
+            g_jit = jax.jit(
+                lambda s, b, r, p: g_phase(s, normalize(b), r, p),
+                donate_argnums=0,
+            )
+
+            def split_stepper(state, batches_u8: Batches, rng):
+                state, d_metrics = d_jit(state, batches_u8, rng)
+                # p_used stays on device (the probability entering the step)
+                state, g_metrics = g_jit(
+                    state, batches_u8, rng, d_metrics["ada_p"]
+                )
+                return state, {**d_metrics, **g_metrics}
+
+            return split_stepper
+
         inner = (
-            make_multi_step(self.config, self.models, k)
+            make_multi_step(self.config, self.models, k, self.mesh)
             if k > 1
-            else make_train_step(self.config, self.models)
+            else make_train_step(self.config, self.models, self.mesh)
         )
 
         def stepper(state, batches_u8: Batches, rng):
-            batches = Batches(
-                *(
-                    x.astype(jnp.float32) / 127.5 - 1.0
-                    for x in batches_u8
-                )
-            )
-            return inner(state, batches, rng)
+            return inner(state, normalize(batches_u8), rng)
 
         return jax.jit(stepper, donate_argnums=0)
 
@@ -344,14 +398,11 @@ class Trainer:
                 jax.profiler.start_trace(str(run_dir / "trace"))
             batches = get_group(k_now)
             if k_now == 1:
-                fn = self.step_fn if k == 1 else self._jit_step(1)
+                fn = self._get_step_fn(1)
                 rng = jax.random.fold_in(self.loop_rng, step)
                 self.state, metrics = fn(self.state, batches, rng)
             else:
-                if k_now != k:  # tail smaller than the compiled inner loop
-                    fn = self._jit_step(k_now)
-                else:
-                    fn = self.step_fn
+                fn = self._get_step_fn(k_now)
                 keys = jnp.stack(
                     [
                         jax.random.fold_in(self.loop_rng, step + i)
@@ -385,6 +436,11 @@ class Trainer:
             # training (a max_steps-bounded pause is not an end).
             if step % ckpt_interval == 0 or step == final:
                 self.checkpoint(step - 1)
+        if total < final and total % ckpt_interval != 0 and total > self.start_step:
+            # A max_steps-bounded pause that stops off-cadence: save a
+            # model-only checkpoint (no FID/grids) so a later resume does
+            # not silently replay the steps since the last interval.
+            save_checkpoint(self.ckpt_mgr, total, self.state, wait=False)
         self.ckpt_mgr.wait_until_finished()  # flush async saves
         return self.state
 
@@ -409,6 +465,7 @@ class Trainer:
             self.val_iter,
             k_val,
             real_images=self.shoemark_images,
+            reals_cache=self._reals_cache,
         )
         # Async: device buffers are read here; the disk commit overlaps the
         # next K-step device program (run() flushes at the end).

@@ -45,7 +45,18 @@ def capture(batch: int, size: int, k: int) -> None:
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
-    step = jax.jit(make_multi_step(config, models, k))
+    # k == 1 traces the UNSCANNED step (make_train_step): a lax.scan body
+    # shows up as one opaque `while` op in the profile, hiding per-op
+    # attribution.
+    if k == 1:
+        from one_to_many_gan_tpu.core.train_step import make_train_step
+
+        single = make_train_step(config, models)
+        step = jax.jit(
+            lambda s, b, ks: single(s, Batches(*(x[0] for x in b)), ks[0])
+        )
+    else:
+        step = jax.jit(make_multi_step(config, models, k))
     rng = np.random.default_rng(0)
 
     def mk():
@@ -57,11 +68,11 @@ def capture(batch: int, size: int, k: int) -> None:
     keys = jax.random.split(jax.random.key(9), k)
     # compile + warm
     _, metrics = step(state, batches, keys)
-    float(metrics["total_gen_loss"][-1])
+    float(jnp.max(metrics["total_gen_loss"]))
 
     jax.profiler.start_trace(str(TRACE_DIR))
     _, metrics = step(state, batches, keys)
-    float(metrics["total_gen_loss"][-1])  # host read = real sync
+    float(jnp.max(metrics["total_gen_loss"]))  # host read = real sync
     jax.profiler.stop_trace()
 
 

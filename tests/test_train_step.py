@@ -219,3 +219,29 @@ def test_remat_bool_compat(tmp_path):
         write_tiny_config(tmp_path, tpu_section="\n[tpu]\nremat = false\n")
     )
     assert cfg2["tpu"]["remat"] == "none"
+
+
+def test_split_phases_bit_identical_to_fused(setup):
+    """tpu.split_phases runs the same math as the fused program: both
+    phases derive the same per-step RNG split (train_step.py), so the
+    two-program execution must be BIT-identical to one fused step."""
+    from one_to_many_gan_tpu.core.train_step import make_phase_fns
+
+    config, models, state, step = setup
+    batches = _batches(config, seed=13)
+    rng = jax.random.key(11)
+    s_fused, m_fused = jax.jit(step)(state, batches, rng)
+
+    d_phase, g_phase = make_phase_fns(config, models)
+    p_used = state.ada.p
+    s1, dm = jax.jit(d_phase)(state, batches, rng)
+    s2, gm = jax.jit(g_phase)(s1, batches, rng, p_used)
+    merged = {**dm, **gm}
+    for k in m_fused:
+        np.testing.assert_array_equal(
+            np.asarray(m_fused[k]), np.asarray(merged[k]), err_msg=k
+        )
+    for a, b in zip(
+        jax.tree.leaves(s_fused), jax.tree.leaves(s2), strict=True
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

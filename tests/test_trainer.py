@@ -64,8 +64,14 @@ def test_log_file_format(run):
         / "metrics.jsonl"
     ).read_text()
     rows = [json.loads(ln) for ln in jl.splitlines()]
-    assert len(rows) == 3
-    assert {"step", *("total_disc_losses", "ada_ps")} <= set(rows[0])
+    train_rows = [r for r in rows if "total_disc_losses" in r]
+    fid_rows = [r for r in rows if "fid" in r]
+    assert len(train_rows) == 3
+    assert {"step", "ada_ps"} <= set(train_rows[0])
+    # FID rows carry the extractor tag (random-projection numbers must
+    # never be mistaken for Inception FID)
+    assert len(fid_rows) == 2  # checkpoints at steps 3 and 6
+    assert all("fid_extractor" in r and "kid" in r for r in fid_rows)
 
 
 def test_image_and_val_artifacts(run):
@@ -108,3 +114,22 @@ def test_resume_continues_not_restarts(run):
         strict=True,
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_split_phases_trainer_runs(tmp_path):
+    """tpu.split_phases end-to-end: two jitted programs per step, same
+    loop contract (logs, checkpoints, resume metadata)."""
+    config = load_config(
+        write_tiny_config(
+            tmp_path,
+            tpu_section="\n[tpu]\nsplit_phases = true\nsteps_per_call = 4\n",
+        )
+    )
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    assert trainer.steps_per_call == 1  # split forces K=1
+    state = trainer.run(max_steps=2)
+    assert int(state.step) == 2
