@@ -11,7 +11,11 @@ synthetic data (TPU), then asserts the dynamics the reference exhibits:
 - image-grid artifacts are written and change over checkpoints.
 
 Writes <out>/dynamics_log.json + the standard run artifacts. Usage:
-    python scripts/train_dynamics.py [steps] [size] [out_dir]
+    python scripts/train_dynamics.py [steps] [size] [out_dir] [batch] [remat]
+
+At size >= 256 the generator uses the flagship min_latent_resolution=64
+(the tpu_v5e8_512.toml arithmetic) so the 512² evidence run exercises
+the production decoder depth.
 """
 
 import json
@@ -33,6 +37,8 @@ def main() -> None:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else Path("/tmp/otm_dynamics")
+    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    remat = sys.argv[5] if len(sys.argv) > 5 else "none"
 
     from one_to_many_gan_tpu.core.trainer import Trainer
     from one_to_many_gan_tpu.data import synthetic_images
@@ -40,8 +46,8 @@ def main() -> None:
 
     config = tiny_config(
         (size, size),
-        8,
-        min_latent=size // 4,
+        batch,
+        min_latent=64 if size >= 256 else size // 4,
         w_dim=6,
         training={
             "training_steps": steps,
@@ -62,16 +68,19 @@ def main() -> None:
         },
         tpu={
             "precision": "bfloat16",
-            "steps_per_call": 100,
+            "steps_per_call": 100 if size < 256 else 10,
             "ema_decay": 0.999,
             "resume": False,
+            "remat": remat,
+            "ada_pallas": True,
         },
     )
 
     # Small structured dataset (64 images/domain): D can memorize it, which
     # is exactly the overfitting regime the ADA controller exists for.
-    prints = synthetic_images(64, (size, size), seed=0)
-    marks = synthetic_images(64, (size, size), seed=777)
+    n_data = 64 if size < 256 else 32
+    prints = synthetic_images(n_data, (size, size), seed=0)
+    marks = synthetic_images(n_data, (size, size), seed=777)
 
     trainer = Trainer(
         config, shoeprint_images=prints, shoemark_images=marks, verbose=True
@@ -97,7 +106,7 @@ def main() -> None:
         "steps": steps,
         "size": size,
         "wall_s": round(wall, 1),
-        "images_per_sec": round(steps * 8 / wall, 2),
+        "images_per_sec": round(steps * batch / wall, 2),
         "history": history,
     }
     (out / "dynamics_log.json").write_text(json.dumps(payload, indent=1))
