@@ -41,10 +41,47 @@ def capture(batch: int, size: int, k: int) -> None:
             "precision": "bfloat16",
             # match bench.py's default operating point
             "ada_pallas": os.environ.get("OTM_TRACE_ADA_PALLAS", "1") == "1",
+            "remat": os.environ.get("OTM_TRACE_REMAT", "none"),
+            "remat_d": os.environ.get("OTM_TRACE_REMAT_D", "same"),
         },
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
+    rng = np.random.default_rng(0)
+
+    # OTM_TRACE_SPLIT=1 traces the split-phase operating point (two jitted
+    # programs per step — the 512² configuration); the parse aggregates
+    # device events across both programs.
+    if os.environ.get("OTM_TRACE_SPLIT", "0") == "1":
+        from one_to_many_gan_tpu.core.train_step import make_phase_fns
+
+        d_phase, g_phase = make_phase_fns(config, models)
+        d_jit = jax.jit(d_phase)
+        g_jit = jax.jit(g_phase)
+
+        def mk1():
+            return jax.device_put(
+                (rng.random((batch, size, size, 1)) * 2 - 1).astype(np.float32)
+            )
+
+        batches1 = Batches(mk1(), mk1(), mk1(), mk1())
+
+        def run_k(state):
+            gm = None
+            for i in range(k):
+                key = jax.random.key(50 + i)
+                state, dm = d_jit(state, batches1, key)
+                state, gm = g_jit(state, batches1, key, dm["ada_p"])
+            return state, gm
+
+        state2, gm = run_k(state)  # compile + warm
+        float(gm["total_gen_loss"])
+        jax.profiler.start_trace(str(TRACE_DIR))
+        _, gm = run_k(state)
+        float(gm["total_gen_loss"])  # host read = real sync
+        jax.profiler.stop_trace()
+        return
+
     # k == 1 traces the UNSCANNED step (make_train_step): a lax.scan body
     # shows up as one opaque `while` op in the profile, hiding per-op
     # attribution.
@@ -57,7 +94,6 @@ def capture(batch: int, size: int, k: int) -> None:
         )
     else:
         step = jax.jit(make_multi_step(config, models, k))
-    rng = np.random.default_rng(0)
 
     def mk():
         return jax.device_put(

@@ -157,6 +157,55 @@ def test_spatial_config_disables_head_s2d(tmp_path):
     assert Models(cfg_sp).generator.head_s2d == 0
 
 
+def test_split_phases_dp_spatial_matches_single_device(tmp_path):
+    """tpu.split_phases under the 4x2 data x spatial mesh: the two-program
+    execution must compute the SAME step as the single-device fused
+    program (the 512² flagship operating point is split-phase; BASELINE.md
+    round-3 results). Covers the mesh-aware buffer all-gather and the
+    per-phase augment path under sharding."""
+    from one_to_many_gan_tpu.core.train_step import make_phase_fns
+
+    config = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
+        )
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    batches = _batches(config, seed=3)
+    rng = jax.random.key(8)
+
+    step1 = make_train_step(config, models)
+    s1, m1 = jax.jit(step1)(state, Batches(*map(jnp.asarray, batches)), rng)
+
+    mesh = make_mesh(4, 2)
+    d_phase, g_phase = make_phase_fns(config, models, mesh)
+    state_r = replicate(mesh, state)
+    batches_r = Batches(*(shard_batch(mesh, b) for b in batches))
+    p_used = state_r.ada.p
+    s_d, dm = jax.jit(d_phase)(state_r, batches_r, rng)
+    s2, gm = jax.jit(g_phase)(s_d, batches_r, rng, p_used)
+    m2 = {**dm, **gm}
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged under split-phase dp+spatial",
+        )
+    lr = config["optimisation"]["learning_rate"]
+    for name in ("params_g", "params_d", "params_m", "params_s"):
+        for a, b in zip(
+            jax.tree.leaves(getattr(s1, name)),
+            jax.tree.leaves(getattr(s2, name)),
+            strict=True,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5 * lr,
+                err_msg=f"{name} diverged under split-phase dp+spatial",
+            )
+    assert int(s2.step) == 1
+
+
 def test_dp_step_with_pallas_warp_matches_single_device(tmp_path):
     """ada_pallas under pure data parallelism: the kernel runs shard_map'd
     over the batch axis (a pallas_call has no SPMD partitioning rule —
