@@ -11,7 +11,11 @@ synthetic data (TPU), then asserts the dynamics the reference exhibits:
 - image-grid artifacts are written and change over checkpoints.
 
 Writes <out>/dynamics_log.json + the standard run artifacts. Usage:
-    python scripts/train_dynamics.py [steps] [size] [out_dir] [batch] [remat]
+    python scripts/train_dynamics.py [steps] [size] [out_dir] [batch] [remat] [split]
+
+``split=1`` runs the split-phase programs (tpu.split_phases with
+remat_d="none") — the measured 512² operating point (BASELINE.md
+round-3 results).
 
 At size >= 256 the generator uses the flagship min_latent_resolution=64
 (the tpu_v5e8_512.toml arithmetic) so the 512² evidence run exercises
@@ -39,6 +43,7 @@ def main() -> None:
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else Path("/tmp/otm_dynamics")
     batch = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     remat = sys.argv[5] if len(sys.argv) > 5 else "none"
+    split = len(sys.argv) > 6 and sys.argv[6] == "1"
 
     from one_to_many_gan_tpu.core.trainer import Trainer
     from one_to_many_gan_tpu.data import synthetic_images
@@ -72,6 +77,8 @@ def main() -> None:
             "ema_decay": 0.999,
             "resume": False,
             "remat": remat,
+            "remat_d": "none" if split else "same",
+            "split_phases": split,
             "ada_pallas": True,
         },
     )
