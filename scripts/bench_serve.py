@@ -1,0 +1,82 @@
+"""End-to-end latency of the persistent inference server (serve.py).
+
+Measures what a deployment client actually sees — HTTP round-trip +
+image decode + bucketed 1->N device sweep + PNG/zip (or npy) encode —
+against a live server on localhost with fresh weights at the 256²
+production architecture (the same model shape as scripts/bench_latency.py,
+whose numbers isolate the bare XLA call). Prints one JSON line per
+(n, format) point.
+
+Usage: python scripts/bench_serve.py  (TPU; buckets warm before timing)
+"""
+
+import io
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import numpy as np  # noqa: E402
+from PIL import Image  # noqa: E402
+
+from one_to_many_gan_tpu.core.state import Models, init_train_state  # noqa: E402
+from one_to_many_gan_tpu.presets import tiny_config  # noqa: E402
+from one_to_many_gan_tpu.serve import InferenceEngine, make_server  # noqa: E402
+
+
+def main():
+    config = tiny_config(
+        (256, 256), 4, min_latent=64, tpu={"precision": "bfloat16"}
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    engine = InferenceEngine(config, buckets=(8, 64), state=state)
+    warm_s = engine.warmup()
+    print(f"# warmup (2 bucket compiles): {warm_s:.1f}s", file=sys.stderr)
+
+    httpd = make_server(engine, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (256, 256), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    src = buf.getvalue()
+
+    for n, fmt in ((8, "zip"), (8, "npy"), (64, "zip"), (64, "npy")):
+        url = f"{base}/generate?n={n}&format={fmt}"
+        # warm this exact route once (bucket already compiled)
+        urllib.request.urlopen(
+            urllib.request.Request(url + "&seed=0", data=src), timeout=120
+        ).read()
+        times = []
+        for i in range(9):
+            t0 = time.perf_counter()
+            urllib.request.urlopen(
+                urllib.request.Request(url + f"&seed={i}", data=src), timeout=120
+            ).read()
+            times.append((time.perf_counter() - t0) * 1000)
+        p50 = sorted(times)[len(times) // 2]
+        print(
+            json.dumps(
+                {
+                    "metric": f"serve_one_to_{n}_{fmt}_p50_latency_256x256",
+                    "value": round(p50, 2),
+                    "unit": "ms",
+                }
+            )
+        )
+    httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,35 @@ def test_resume_continues_not_restarts(run):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pause_saves_model_only_checkpoint(tmp_path):
+    """A max_steps-bounded pause that stops OFF the checkpoint cadence
+    must still persist the state (model-only save, no FID/grids), so a
+    later resume does not silently replay the unsaved steps."""
+    config = load_config(write_tiny_config(tmp_path))
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    state = trainer.run(max_steps=2)  # ckpt_interval=3 -> step 2 off-cadence
+    assert int(state.step) == 2
+    # model-only: the state is checkpointed, but no eval artifacts exist
+    run_dir = (
+        config["training"]["checkpoint_directory"]
+        / config["training"]["training_run"]
+    )
+    images_dir = run_dir / "images"
+    assert not images_dir.exists() or not list(images_dir.glob("*.png"))
+    trainer2 = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    assert trainer2.start_step == 2
+    for a, b in zip(
+        jax.tree.leaves(state), jax.tree.leaves(trainer2.state), strict=True
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_split_phases_trainer_runs(tmp_path):
     """tpu.split_phases end-to-end: two jitted programs per step, same
     loop contract (logs, checkpoints, resume metadata)."""
