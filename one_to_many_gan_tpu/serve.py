@@ -66,7 +66,10 @@ def _encode_png(arr_u8: np.ndarray) -> bytes:
 
     buf = io.BytesIO()
     img = arr_u8.squeeze(-1) if arr_u8.shape[-1] == 1 else arr_u8
-    Image.fromarray(img).save(buf, format="PNG")
+    # compress_level=1: the serving host is single-core and PNG encode
+    # dominates the zip route's latency (measured in BASELINE.md); level 1
+    # halves encode time for a modest size increase vs PIL's default 6
+    Image.fromarray(img).save(buf, format="PNG", compress_level=1)
     return buf.getvalue()
 
 

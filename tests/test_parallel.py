@@ -206,6 +206,49 @@ def test_split_phases_dp_spatial_matches_single_device(tmp_path):
     assert int(s2.step) == 1
 
 
+def test_deep_spatial_split_matches_single_device(tmp_path):
+    """2x4 data x spatial mesh — a FOUR-way height split (8 rows per
+    device at 32², 4 latent rows after downsampling). Deeper spatial
+    splits chain more halo exchanges through the conv/resampling ladders
+    than the 4x2 case; the step must still equal one device exactly."""
+    config = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 4\n"
+        )
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    batches = _batches(config, seed=4)
+    rng = jax.random.key(9)
+
+    s1, m1 = jax.jit(make_train_step(config, models))(
+        state, Batches(*map(jnp.asarray, batches)), rng
+    )
+
+    mesh = make_mesh(2, 4)
+    step_mesh = make_train_step(config, models, mesh)
+    state_r = replicate(mesh, state)
+    batches_r = Batches(*(shard_batch(mesh, b) for b in batches))
+    s2, m2 = jax.jit(step_mesh)(state_r, batches_r, rng)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged under 2x4 dp+spatial",
+        )
+    lr = config["optimisation"]["learning_rate"]
+    for name in ("params_g", "params_d"):
+        for a, b in zip(
+            jax.tree.leaves(getattr(s1, name)),
+            jax.tree.leaves(getattr(s2, name)),
+            strict=True,
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5 * lr,
+                err_msg=f"{name} diverged under 2x4 dp+spatial",
+            )
+
+
 def test_dp_step_with_pallas_warp_matches_single_device(tmp_path):
     """ada_pallas under pure data parallelism: the kernel runs shard_map'd
     over the batch axis (a pallas_call has no SPMD partitioning rule —
