@@ -138,6 +138,13 @@ class TpuConfig(TypedDict):
     # Trainer so crash-restarted runs (infinite_run.sh + tpu.resume) reuse
     # compiled executables instead of paying the multi-minute recompile.
     compilation_cache_dir: str
+    # Failure detection: raise TrainingDiverged when any interval-mean
+    # metric is non-finite at a log boundary, BEFORE the poisoned state
+    # can be checkpointed. Under infinite_run.sh + tpu.resume the process
+    # then restarts from the last good checkpoint (the replay is
+    # deterministic — useful for reproducing the divergence). The
+    # reference trains silently through NaNs.
+    halt_on_nonfinite: bool
 
 
 class Config(TypedDict):
@@ -171,6 +178,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "prefetch": 2,
     "s2d_pack": False,
     "compilation_cache_dir": "/tmp/jax_cache",
+    "halt_on_nonfinite": True,
 }
 
 _REQUIRED_SECTIONS = (

@@ -44,6 +44,17 @@ from one_to_many_gan_tpu.data import BatchIterator, ShoeDataset
 from one_to_many_gan_tpu.parallel import make_mesh, replicate, shard_batch
 
 
+class TrainingDiverged(RuntimeError):
+    """A non-finite interval-mean metric was detected (tpu.halt_on_nonfinite).
+
+    Raised at a log boundary BEFORE the same-step checkpoint, so the
+    poisoned state is never persisted; under ``infinite_run.sh`` +
+    ``tpu.resume`` the run restarts from the last good checkpoint.
+    (Failure-detection subsystem — the reference trains silently through
+    NaNs; SURVEY.md §5.)
+    """
+
+
 def _checkpoint_manager(config: Config):
     import orbax.checkpoint as ocp
 
@@ -431,6 +442,17 @@ class Trainer:
                 # observability; trivially adaptable to TensorBoard/W&B).
                 with (run_dir / "metrics.jsonl").open("a") as f:
                     f.write(json.dumps({"step": step, **means}) + "\n")
+                if config["tpu"]["halt_on_nonfinite"] and not all(
+                    np.isfinite(v) for v in means.values()
+                ):
+                    bad = [k for k, v in means.items() if not np.isfinite(v)]
+                    msg = (
+                        f"non-finite metrics {bad} in the interval ending at "
+                        f"step {step}; halting BEFORE checkpointing the "
+                        "poisoned state — resume restarts from the latest "
+                        "persisted checkpoint (tpu.halt_on_nonfinite)"
+                    )
+                    raise TrainingDiverged(msg)
 
             # Full checkpoint on the cadence, plus once at the TRUE end of
             # training (a max_steps-bounded pause is not an end).

@@ -9,6 +9,7 @@ import pytest
 from one_to_many_gan_tpu.config import load_config
 from one_to_many_gan_tpu.core.trainer import (
     Trainer,
+    TrainingDiverged,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -114,6 +115,50 @@ def test_resume_continues_not_restarts(run):
         strict=True,
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _poison_summary(trainer):
+    orig = trainer.logger.summary
+
+    def poisoned(step):
+        line, means = orig(step)
+        means = dict(means)
+        means["total_gen_losses"] = float("nan")
+        return line, means
+
+    trainer.logger.summary = poisoned
+
+
+def test_halt_on_nonfinite_detects_divergence(tmp_path):
+    """Failure detection (tpu.halt_on_nonfinite, default on): a non-finite
+    interval mean raises TrainingDiverged at the log boundary, BEFORE the
+    same-run checkpoint can persist the poisoned state."""
+    config = load_config(write_tiny_config(tmp_path))
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    _poison_summary(trainer)
+    with pytest.raises(TrainingDiverged, match="non-finite metrics"):
+        trainer.run()  # first log boundary (step 2) precedes ckpt step 3
+    assert trainer.ckpt_mgr.latest_step() is None
+
+
+def test_halt_on_nonfinite_disabled_trains_through(tmp_path):
+    config = load_config(
+        write_tiny_config(
+            tmp_path, tpu_section="\n[tpu]\nhalt_on_nonfinite = false\n"
+        )
+    )
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    _poison_summary(trainer)
+    state = trainer.run(max_steps=2)  # reference behavior: no halt
+    assert int(state.step) == 2
 
 
 def test_pause_saves_model_only_checkpoint(tmp_path):
