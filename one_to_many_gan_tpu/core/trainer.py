@@ -20,6 +20,7 @@ TPU-native upgrades over the reference:
 from __future__ import annotations
 
 import json
+import signal
 import time
 from pathlib import Path
 from typing import Any
@@ -364,14 +365,7 @@ class Trainer:
         total = final
         if max_steps is not None:
             total = min(total, self.start_step + max_steps)
-        log_interval = config["evaluation"]["log_interval"]
         ckpt_interval = config["evaluation"]["checkpoint_interval"]
-        profile_step = config["tpu"]["profile_step"]
-        run_dir = (
-            config["training"]["checkpoint_directory"]
-            / config["training"]["training_run"]
-        )
-        t0 = time.perf_counter()
 
         k = self.steps_per_call
         schedule = self._schedule(self.start_step, total, k)
@@ -403,7 +397,52 @@ class Trainer:
         else:
             get_group = self._make_group
 
+        # Preemption safety: TPU pods get SIGTERM'd (maintenance, spot
+        # reclaim). Stop at the next step-group boundary and persist a
+        # model-only checkpoint so the restart loses no work — the
+        # reference's restart loop loses everything since the last
+        # 5k-step checkpoint.
+        self._preempted = False
+
+        def _on_term(signum, frame):  # noqa: ARG001
+            self._preempted = True
+            if self.verbose:
+                print(
+                    "SIGTERM: checkpointing and exiting at the next step boundary"
+                )
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread: no handler, no preemption stop
+            prev_handler = None
+
         step = self.start_step
+        try:
+            step = self._run_loop(schedule, step, get_group, total)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+        if step < final and step % ckpt_interval != 0 and step > self.start_step:
+            # A max_steps-bounded pause or a SIGTERM preemption that stops
+            # off-cadence: save a model-only checkpoint (no FID/grids) so a
+            # later resume does not silently replay the steps since the
+            # last interval.
+            save_checkpoint(self.ckpt_mgr, step, self.state, wait=False)
+        self.ckpt_mgr.wait_until_finished()  # flush async saves
+        return self.state
+
+    def _run_loop(self, schedule, step, get_group, total) -> int:
+        """Execute the scheduled step groups; returns the step reached."""
+        config = self.config
+        final = config["training"]["training_steps"]
+        log_interval = config["evaluation"]["log_interval"]
+        ckpt_interval = config["evaluation"]["checkpoint_interval"]
+        profile_step = config["tpu"]["profile_step"]
+        run_dir = (
+            config["training"]["checkpoint_directory"]
+            / config["training"]["training_run"]
+        )
+        t0 = time.perf_counter()
         for k_now in schedule:
             if profile_step and step <= profile_step < step + k_now:
                 jax.profiler.start_trace(str(run_dir / "trace"))
@@ -458,13 +497,9 @@ class Trainer:
             # training (a max_steps-bounded pause is not an end).
             if step % ckpt_interval == 0 or step == final:
                 self.checkpoint(step - 1)
-        if total < final and total % ckpt_interval != 0 and total > self.start_step:
-            # A max_steps-bounded pause that stops off-cadence: save a
-            # model-only checkpoint (no FID/grids) so a later resume does
-            # not silently replay the steps since the last interval.
-            save_checkpoint(self.ckpt_mgr, total, self.state, wait=False)
-        self.ckpt_mgr.wait_until_finished()  # flush async saves
-        return self.state
+            if self._preempted:
+                break
+        return step
 
     def checkpoint(self, step: int) -> None:
         """Image grids + FID/KID validation + model checkpoint."""

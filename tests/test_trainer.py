@@ -190,6 +190,43 @@ def test_pause_saves_model_only_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """Preemption safety: SIGTERM mid-run stops at the next step boundary,
+    persists a model-only checkpoint at that step, and a fresh Trainer
+    resumes from it (the reference's restart loop loses everything since
+    the last full checkpoint)."""
+    import signal as _signal
+
+    config = load_config(write_tiny_config(tmp_path))
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    calls = {"n": 0}
+    orig = trainer.logger.append_metrics
+
+    def tap(metrics):
+        calls["n"] += 1
+        if calls["n"] == 1:  # deliver SIGTERM during the first step
+            _signal.raise_signal(_signal.SIGTERM)
+        return orig(metrics)
+
+    trainer.logger.append_metrics = tap
+    state = trainer.run()
+    assert int(state.step) == 1  # stopped at the first boundary (ckpt at 3)
+    assert trainer.ckpt_mgr.latest_step() == 1
+    trainer2 = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    assert trainer2.start_step == 1
+    # the handler was restored after run()
+    assert _signal.getsignal(_signal.SIGTERM) in (
+        _signal.SIG_DFL,
+        _signal.Handlers.SIG_DFL,
+    )
+
+
 def test_split_phases_trainer_runs(tmp_path):
     """tpu.split_phases end-to-end: two jitted programs per step, same
     loop contract (logs, checkpoints, resume metadata)."""
