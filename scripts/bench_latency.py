@@ -1,7 +1,8 @@
 """p50 latency of the batched 1->N inference sweep (BASELINE.json metric 3).
 
-One source image x N latents decoded in a single XLA call at 256x256.
-Prints a JSON line per N.
+One source image x N latents decoded in a single XLA call. Prints a
+JSON line per N. Usage: python scripts/bench_latency.py [size]
+(default 256; 512 measures the flagship-config resolution).
 """
 
 import json
@@ -26,7 +27,8 @@ from one_to_many_gan_tpu.presets import tiny_config  # noqa: E402
 
 
 def main():
-    config = tiny_config((256, 256), 4, min_latent=64,
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    config = tiny_config((size, size), 4, min_latent=64,
                          tpu={"precision": "bfloat16"})
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
@@ -35,7 +37,7 @@ def main():
     params_g = eval_params_g(state)  # EMA weights when enabled
 
     img = jax.device_put(
-        np.random.default_rng(0).standard_normal((256, 256, 1)).astype(np.float32)
+        np.random.default_rng(0).standard_normal((size, size, 1)).astype(np.float32)
     )
     for n in (8, 64):
         # warm
@@ -49,7 +51,7 @@ def main():
             times.append((time.perf_counter() - t0) * 1000)
         p50 = sorted(times)[len(times) // 2]
         print(json.dumps({
-            "metric": f"one_to_{n}_sweep_p50_latency_256x256",
+            "metric": f"one_to_{n}_sweep_p50_latency_{size}x{size}",
             "value": round(p50, 2),
             "unit": "ms",
         }))
