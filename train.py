@@ -3,16 +3,27 @@
 Same invocation contract as the reference (train.py:322-326), running the
 TPU-native trainer. With ``tpu.resume = true`` (default) a crash-restart
 continues from the latest Orbax checkpoint instead of step 0.
+
+Exit codes: 0 success; 42 = TrainingDiverged (non-finite metrics,
+tpu.halt_on_nonfinite) — a DETERMINISTIC failure that a blind resume
+would replay identically, so scripts/infinite_run.sh stops instead of
+hot-looping on it.
 """
 
 import sys
 
-from one_to_many_gan_tpu.config import load_config
-from one_to_many_gan_tpu.core.trainer import train
+DIVERGED_EXIT_CODE = 42
 
 
 def main(config_path: str) -> None:
-    train(load_config(config_path))
+    from one_to_many_gan_tpu.config import load_config
+    from one_to_many_gan_tpu.core.trainer import TrainingDiverged, train
+
+    try:
+        train(load_config(config_path))
+    except TrainingDiverged as exc:
+        print(f"TrainingDiverged: {exc}", file=sys.stderr)
+        sys.exit(DIVERGED_EXIT_CODE)
 
 
 if __name__ == "__main__":
