@@ -119,6 +119,12 @@ def test_engine_uses_ema_generator(server):
     np.testing.assert_array_equal(got, oracle.generate(src, 4, seed=3))
 
 
+def test_warmup_compiles_all_buckets(server):
+    engine, *_ = server
+    secs = engine.warmup()  # already compiled by earlier tests: fast path
+    assert secs >= 0.0
+
+
 def test_error_paths(server):
     engine, base, *_ = server
     with pytest.raises(ValueError, match="largest compiled bucket"):
