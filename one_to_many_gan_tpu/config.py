@@ -138,6 +138,11 @@ class TpuConfig(TypedDict):
     # Trainer so crash-restarted runs (infinite_run.sh + tpu.resume) reuse
     # compiled executables instead of paying the multi-minute recompile.
     compilation_cache_dir: str
+    # Orbax checkpoint retention: how many of the newest model
+    # checkpoints to keep on disk (older ones are garbage-collected).
+    # A 150k-step run at the reference's 5k-step cadence would otherwise
+    # accumulate 30 full model+optimizer snapshots.
+    keep_checkpoints: int
     # Failure detection: raise TrainingDiverged when any interval-mean
     # metric is non-finite at a log boundary, BEFORE the poisoned state
     # can be checkpointed. Under infinite_run.sh + tpu.resume the process
@@ -178,6 +183,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "prefetch": 2,
     "s2d_pack": False,
     "compilation_cache_dir": "/tmp/jax_cache",
+    "keep_checkpoints": 3,
     "halt_on_nonfinite": True,
 }
 

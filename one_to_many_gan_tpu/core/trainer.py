@@ -66,7 +66,10 @@ def _checkpoint_manager(config: Config):
     )
     models_dir.mkdir(parents=True, exist_ok=True)
     return ocp.CheckpointManager(
-        models_dir.resolve(), options=ocp.CheckpointManagerOptions(max_to_keep=3)
+        models_dir.resolve(),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=config["tpu"]["keep_checkpoints"]
+        ),
     )
 
 

@@ -190,6 +190,21 @@ def test_pause_saves_model_only_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_keep_checkpoints_retention(tmp_path):
+    """tpu.keep_checkpoints bounds Orbax retention: with 1, only the
+    newest model checkpoint survives a run that checkpoints twice."""
+    config = load_config(
+        write_tiny_config(tmp_path, tpu_section="\n[tpu]\nkeep_checkpoints = 1\n")
+    )
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    trainer.run()  # 6 steps, ckpt_interval 3 -> checkpoints at 3 and 6
+    assert trainer.ckpt_mgr.all_steps() == [6]
+
+
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     """Preemption safety: SIGTERM mid-run stops at the next step boundary,
     persists a model-only checkpoint at that step, and a fresh Trainer
