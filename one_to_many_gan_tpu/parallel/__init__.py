@@ -1,5 +1,6 @@
 """Parallelism: device mesh, shardings, multi-host helpers."""
 
+from one_to_many_gan_tpu.parallel import distributed
 from one_to_many_gan_tpu.parallel.mesh import (
     DATA_AXIS,
     SPATIAL_AXIS,
@@ -11,6 +12,7 @@ from one_to_many_gan_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "distributed",
     "DATA_AXIS",
     "SPATIAL_AXIS",
     "batch_sharding",

@@ -61,11 +61,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Host array -> globally sharded device array."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Host batch -> globally sharded device array.
+
+    Single-process: one device_put. Multi-process (the mesh spans hosts):
+    ``batch`` is this process's LOCAL shard — the rows of the global batch
+    this host loaded (data/pipeline.py host_id/host_count) — assembled
+    into a global array without any cross-host data movement.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(batch))
+    return jax.device_put(batch, sharding)
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params/state) across the mesh."""
+    """Replicate a pytree (params/state) across the mesh.
+
+    Multi-process: every process must hold the same values (deterministic
+    init from the same seed guarantees this); each contributes its full
+    copy as the process-local data of a fully-replicated global array.
+    """
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)

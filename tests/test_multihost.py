@@ -1,0 +1,89 @@
+"""Two-process multi-host validation (SURVEY.md §5 distributed backend).
+
+The scale-out design routes cross-HOST communication through
+jax.distributed + global arrays (parallel/distributed.py); within a host,
+the mesh axes. No multi-host hardware exists here, so this test runs the
+REAL runtime the way JAX itself tests it: two coordinated OS processes on
+localhost (gloo collectives), 4 virtual CPU devices each, one fused train
+step over a 4x2 data x spatial mesh spanning both processes. Gradient
+all-reduces cross the process boundary; metrics must match the
+single-process step and agree between processes.
+
+Marked slow (like the dynamics tests): two cold JAX subprocess startups
++ mesh-step compiles serialize on this image's single CPU core (~7 min).
+Run with ``pytest -m slow tests/test_multihost.py``; it passed in round 3.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from one_to_many_gan_tpu.config import load_config
+from one_to_many_gan_tpu.core.state import Models, init_train_state
+from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
+from tests.helpers import write_tiny_config
+
+
+
+pytestmark = pytest.mark.slow
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    # ---- single-process reference metrics (this process, no mesh)
+    config = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
+        )
+    )
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    rng_np = np.random.default_rng(0)
+    h, w = config["data"]["image_size"]
+
+    def mk():
+        return (rng_np.random((8, h, w, 1)) * 2 - 1).astype(np.float32)
+
+    batches = Batches(mk(), mk(), mk(), mk())
+    _, m1 = jax.jit(make_train_step(config, models))(
+        state, Batches(*map(jnp.asarray, batches)), jax.random.key(6)
+    )
+    expected = {k: float(v) for k, v in m1.items()}
+
+    # ---- two coordinated processes over localhost
+    child = Path(__file__).parent / "multihost_child.py"
+    port = _free_port()
+    outs = [tmp_path / "m0.json", tmp_path / "m1.json"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(i), "2", str(port), str(outs[i])],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    got = [json.loads(o.read_text()) for o in outs]
+    assert got[0] == got[1], "processes disagree on replicated metrics"
+    assert got[0].pop("step") == 1
+    got[1].pop("step")
+    for k, v in expected.items():
+        np.testing.assert_allclose(
+            got[0][k], v, rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged across the 2-process mesh",
+        )

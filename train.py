@@ -18,7 +18,12 @@ DIVERGED_EXIT_CODE = 42
 def main(config_path: str) -> None:
     from one_to_many_gan_tpu.config import load_config
     from one_to_many_gan_tpu.core.trainer import TrainingDiverged, train
+    from one_to_many_gan_tpu.parallel import distributed
 
+    # Multi-host pods: one process per host; discovers the coordinator
+    # from the environment. No-op single-process. Validated end-to-end by
+    # tests/test_multihost.py (two coordinated processes, real step).
+    distributed.ensure_initialized()
     try:
         train(load_config(config_path))
     except TrainingDiverged as exc:
