@@ -26,6 +26,9 @@ API (stdlib ``http.server``; no new dependencies):
   ``application/zip`` of ``n`` PNG shoemarks (``shoemark_0000.png``...)
 - ``POST /generate?...&format=npy`` -> one ``[n, H, W, C]`` uint8
   ``.npy`` payload (cheaper than n PNG encodes for bulk consumers)
+- ``POST /reload`` -> re-restore the latest checkpoint of the configured
+  run (serve alongside an ongoing training run without restarting; the
+  compiled programs are weight-agnostic, so no recompile)
 
 CLI:
     python -m one_to_many_gan_tpu.serve config.toml \
@@ -101,26 +104,54 @@ class InferenceEngine:
         self.config = config
         self.buckets = tuple(int(b) for b in buckets)
         models = Models(config)
+        self._mgr = None
+        # one request on the device at a time; HTTP layer may be threaded
+        self._lock = threading.Lock()
         if state is None:
-            from one_to_many_gan_tpu.core.trainer import (
-                _checkpoint_manager,
-                restore_checkpoint,
-            )
-
             state = init_train_state(config, models, jax.random.key(0))
-            state, self.step = restore_checkpoint(_checkpoint_manager(config), state)
+            state, self.step = self._restore_latest(state)
         else:
             self.step = int(state.step)
-        self.ema = state.ema_params_g is not None
-        self._params_g = eval_params_g(state)
-        self._params_m = state.params_m
+        self._install(state)
         _, one_to_many = make_inference_fns(config, models)
         self._fn = jax.jit(one_to_many, static_argnums=4)
         self._jax = jax
-        # one request on the device at a time; HTTP layer may be threaded
-        self._lock = threading.Lock()
         self.image_size = tuple(config["data"]["image_size"])
         self.channels = config["data"]["image_channels"]
+
+    def _install(self, state) -> None:
+        from one_to_many_gan_tpu.core.state import eval_params_g
+
+        self._template = state  # abstract shapes for future restores
+        self.ema = state.ema_params_g is not None
+        self._params_g = eval_params_g(state)
+        self._params_m = state.params_m
+
+    def _restore_latest(self, template):
+        from one_to_many_gan_tpu.core.trainer import (
+            _checkpoint_manager,
+            restore_checkpoint,
+        )
+
+        if self._mgr is None:
+            self._mgr = _checkpoint_manager(self.config)
+        self._mgr.reload()  # pick up steps saved by another process
+        return restore_checkpoint(self._mgr, template)
+
+    def reload(self) -> int:
+        """Re-restore the latest checkpoint of the configured run.
+
+        Lets a long-lived server track an ONGOING training run: the
+        compiled programs are weight-agnostic, so swapping parameters
+        costs one restore, never a recompile. Returns the serving step
+        (unchanged when no newer checkpoint exists).
+        """
+        state, step = self._restore_latest(self._template)
+        if step and step != self.step:
+            with self._lock:
+                self._install(state)
+                self.step = step
+        return self.step
 
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -221,6 +252,15 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
 
         def do_POST(self):  # noqa: N802
             url = urlparse(self.path)
+            if url.path == "/reload":
+                try:
+                    step = engine.reload()
+                except Exception as exc:  # noqa: BLE001
+                    stats.errors += 1
+                    self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+                    return
+                self._json(200, {"status": "ok", "step": step})
+                return
             if url.path != "/generate":
                 self._json(404, {"error": f"unknown path {url.path}"})
                 return

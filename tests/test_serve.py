@@ -125,6 +125,44 @@ def test_warmup_compiles_all_buckets(server):
     assert secs >= 0.0
 
 
+def test_reload_tracks_new_checkpoints(tmp_path):
+    """POST /reload re-restores the latest checkpoint of the configured
+    run — a long-lived server tracks an ongoing training run without a
+    restart or recompile."""
+    from one_to_many_gan_tpu.core.trainer import save_checkpoint
+
+    config = tiny_config((SIZE, SIZE), 4, root=str(tmp_path))
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(0))
+    engine = InferenceEngine(config, buckets=(4,), state=state)
+    assert engine.step == 0
+
+    src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+    before = engine.generate(src, 4, seed=3)
+
+    # a "training run" saves improved weights at step 5
+    from one_to_many_gan_tpu.core.trainer import _checkpoint_manager
+
+    trained = state.replace(
+        params_g=jax.tree.map(lambda x: x + 0.05, state.params_g)
+    )
+    save_checkpoint(_checkpoint_manager(config), 5, trained, wait=True)
+
+    httpd = make_server(engine, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    req = urllib.request.Request(f"{base}/reload", data=b"")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        payload = json.loads(resp.read())
+    assert payload == {"status": "ok", "step": 5}
+    assert engine.step == 5
+    after = engine.generate(src, 4, seed=3)
+    oracle = InferenceEngine(config, buckets=(4,), state=trained)
+    np.testing.assert_array_equal(after, oracle.generate(src, 4, seed=3))
+    assert not np.array_equal(before, after)
+    httpd.shutdown()
+
+
 def test_error_paths(server):
     engine, base, *_ = server
     with pytest.raises(ValueError, match="largest compiled bucket"):
