@@ -125,6 +125,34 @@ def test_warmup_compiles_all_buckets(server):
     assert secs >= 0.0
 
 
+def test_engine_restores_from_training_checkpoint(tmp_path):
+    """The state=None path (production): a real Trainer run checkpoints,
+    then InferenceEngine restores the latest step and serves the EMA
+    generator — the full train -> serve product flow."""
+    from one_to_many_gan_tpu.config import load_config
+    from one_to_many_gan_tpu.core.trainer import Trainer
+    from one_to_many_gan_tpu.data import synthetic_images
+    from tests.helpers import write_tiny_config
+
+    config = load_config(
+        write_tiny_config(tmp_path, tpu_section="\n[tpu]\nema_decay = 0.99\n")
+    )
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    trained = trainer.run(max_steps=3)  # checkpoint lands at step 3
+
+    engine = InferenceEngine(config, buckets=(4,))
+    assert engine.step == 3
+    assert engine.ema is True
+    src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+    got = engine.generate(src, 4, seed=2)
+    oracle = InferenceEngine(config, buckets=(4,), state=trained)
+    np.testing.assert_array_equal(got, oracle.generate(src, 4, seed=2))
+
+
 def test_reload_tracks_new_checkpoints(tmp_path):
     """POST /reload re-restores the latest checkpoint of the configured
     run — a long-lived server tracks an ongoing training run without a
