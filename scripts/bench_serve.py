@@ -7,7 +7,8 @@ production architecture (the same model shape as scripts/bench_latency.py,
 whose numbers isolate the bare XLA call). Prints one JSON line per
 (n, format) point.
 
-Usage: python scripts/bench_serve.py  (TPU; buckets warm before timing)
+Usage: python scripts/bench_serve.py [size]  (TPU; buckets warm before
+timing; default 256, 512 measures the flagship resolution)
 """
 
 import io
@@ -33,8 +34,9 @@ from one_to_many_gan_tpu.serve import InferenceEngine, make_server  # noqa: E402
 
 
 def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     config = tiny_config(
-        (256, 256), 4, min_latent=64, tpu={"precision": "bfloat16"}
+        (size, size), 4, min_latent=64, tpu={"precision": "bfloat16"}
     )
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
@@ -48,7 +50,7 @@ def main():
 
     buf = io.BytesIO()
     Image.fromarray(
-        np.random.default_rng(0).integers(0, 256, (256, 256), dtype=np.uint8)
+        np.random.default_rng(0).integers(0, 256, (size, size), dtype=np.uint8)
     ).save(buf, format="PNG")
     src = buf.getvalue()
 
@@ -69,7 +71,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"serve_one_to_{n}_{fmt}_p50_latency_256x256",
+                    "metric": f"serve_one_to_{n}_{fmt}_p50_latency_{size}x{size}",
                     "value": round(p50, 2),
                     "unit": "ms",
                 }
