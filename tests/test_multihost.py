@@ -32,7 +32,12 @@ from tests.helpers import write_tiny_config
 
 
 
-pytestmark = pytest.mark.slow
+def test_local_batch_slice_single_process():
+    """Fast (not slow-marked): the per-host batch arithmetic."""
+    from one_to_many_gan_tpu.parallel import distributed
+
+    local, off = distributed.local_batch_slice(8)
+    assert (local, off) == (8, 0)  # single process: whole batch
 
 
 def _free_port() -> int:
@@ -41,6 +46,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_process(tmp_path):
     # ---- single-process reference metrics (this process, no mesh)
     config = load_config(
