@@ -276,6 +276,8 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:
                     raise ValueError("request body (source image) required")
+                if length > 64 * 1024 * 1024:
+                    raise ValueError("request body exceeds 64MB limit")
                 src = _decode_image_bytes(
                     self.rfile.read(length), engine.image_size, engine.channels
                 )

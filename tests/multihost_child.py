@@ -24,6 +24,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# repeat -m slow runs skip the children's mesh-step compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_mh")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main() -> None:
