@@ -32,7 +32,7 @@ API (stdlib ``http.server``; no new dependencies):
 
 CLI:
     python -m one_to_many_gan_tpu.serve config.toml \
-        [--port 8000] [--buckets 8,32,64] [--seed 0]
+        [--host 0.0.0.0] [--port 8000] [--buckets 8,32,64]
 """
 
 from __future__ import annotations
@@ -55,7 +55,11 @@ def _decode_image_bytes(data: bytes, image_size, channels: int) -> np.ndarray:
     from PIL import Image
 
     h, w = image_size
-    img = Image.open(io.BytesIO(data))
+    try:
+        img = Image.open(io.BytesIO(data))
+    except Exception as exc:  # undecodable body is a CLIENT error (400)
+        msg = f"request body is not a decodable image: {exc}"
+        raise ValueError(msg) from exc
     img = img.convert("L" if channels == 1 else "RGB")
     img = img.resize((w, h), Image.BILINEAR)
     arr = np.asarray(img, dtype=np.uint8)
@@ -91,11 +95,7 @@ class InferenceEngine:
     def __init__(self, config, buckets=(8, 32, 64), state=None):
         import jax
 
-        from one_to_many_gan_tpu.core.state import (
-            Models,
-            eval_params_g,
-            init_train_state,
-        )
+        from one_to_many_gan_tpu.core.state import Models, init_train_state
         from one_to_many_gan_tpu.core.train_step import make_inference_fns
 
         if not buckets or list(buckets) != sorted(set(buckets)):
