@@ -86,6 +86,20 @@ def test_generate_zip_roundtrip(server):
     assert stats["requests"] >= 1 and "latency_ms" in stats
 
 
+def test_generate_accepts_jpeg_and_odd_sizes(server):
+    """Source decode contract: JPEG bodies and non-native sizes resize to
+    the configured image size (same as the dataset loader)."""
+    _, base, *_ = server
+    rng = np.random.default_rng(1)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (77, 51), dtype=np.uint8)).save(
+        buf, format="JPEG"
+    )
+    body, _ = _post(base, "n=2&format=npy", buf.getvalue())
+    outs = np.load(io.BytesIO(body))
+    assert outs.shape == (2, SIZE, SIZE, 1)
+
+
 def test_generate_npy_and_bucket_slicing(server):
     engine, base, *_ = server
     # n=5 is rounded up to bucket 8 on-device, sliced back to 5 on host
