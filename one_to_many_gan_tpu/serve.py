@@ -90,9 +90,13 @@ class InferenceEngine:
         state: optional pre-built TrainState (tests inject fresh weights);
             when None the latest Orbax checkpoint of the configured run is
             restored.
+        artifact: optional path to an inference artifact written by
+            ``export.py`` (EMA generator + mapping only); mutually
+            exclusive with ``state``, and /reload is unavailable (the
+            artifact is immutable).
     """
 
-    def __init__(self, config, buckets=(8, 32, 64), state=None):
+    def __init__(self, config, buckets=(8, 32, 64), state=None, artifact=None):
         import jax
 
         from one_to_many_gan_tpu.core.state import Models, init_train_state
@@ -101,18 +105,29 @@ class InferenceEngine:
         if not buckets or list(buckets) != sorted(set(buckets)):
             msg = f"buckets must be ascending and unique, got {buckets!r}"
             raise ValueError(msg)
+        if state is not None and artifact is not None:
+            msg = "state and artifact are mutually exclusive"
+            raise ValueError(msg)
         self.config = config
         self.buckets = tuple(int(b) for b in buckets)
         models = Models(config)
         self._mgr = None
         # one request on the device at a time; HTTP layer may be threaded
         self._lock = threading.Lock()
-        if state is None:
+        if artifact is not None:
+            from one_to_many_gan_tpu.export import load_inference_artifact
+
+            self._params_g, self._params_m, self.step, self.ema = (
+                load_inference_artifact(artifact)
+            )
+            self._template = None
+        elif state is None:
             state = init_train_state(config, models, jax.random.key(0))
             state, self.step = self._restore_latest(state)
+            self._install(state)
         else:
             self.step = int(state.step)
-        self._install(state)
+            self._install(state)
         _, one_to_many = make_inference_fns(config, models)
         self._fn = jax.jit(one_to_many, static_argnums=4)
         self._jax = jax
@@ -146,6 +161,9 @@ class InferenceEngine:
         costs one restore, never a recompile. Returns the serving step
         (unchanged when no newer checkpoint exists).
         """
+        if self._template is None:
+            msg = "reload unavailable: engine is backed by an immutable artifact"
+            raise ValueError(msg)
         state, step = self._restore_latest(self._template)
         if step and step != self.step:
             with self._lock:
@@ -255,6 +273,10 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
             if url.path == "/reload":
                 try:
                     step = engine.reload()
+                except ValueError as exc:  # artifact-backed engine
+                    stats.errors += 1
+                    self._json(400, {"error": str(exc)})
+                    return
                 except Exception as exc:  # noqa: BLE001
                     stats.errors += 1
                     self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
@@ -323,6 +345,12 @@ def main() -> None:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--buckets", default="8,32,64")
+    ap.add_argument(
+        "--artifact",
+        default=None,
+        help="serve from an export.py inference artifact instead of the "
+        "latest Orbax checkpoint (immutable: /reload disabled)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -333,7 +361,9 @@ def main() -> None:
 
     config = load_config(args.config)
     engine = InferenceEngine(
-        config, buckets=[int(b) for b in args.buckets.split(",")]
+        config,
+        buckets=[int(b) for b in args.buckets.split(",")],
+        artifact=args.artifact,
     )
     print(
         f"restored step {engine.step} ({'EMA' if engine.ema else 'raw'} generator); "

@@ -205,6 +205,48 @@ def test_reload_tracks_new_checkpoints(tmp_path):
     httpd.shutdown()
 
 
+def test_export_artifact_roundtrip_and_serving(tmp_path):
+    """export.py writes an inference-only artifact (EMA G + mapping, no
+    D/optimizer) that an artifact-backed engine serves identically to the
+    checkpoint-backed one; the artifact is smaller than the checkpoint
+    and /reload is refused (immutable)."""
+    from one_to_many_gan_tpu.config import load_config
+    from one_to_many_gan_tpu.core.trainer import Trainer
+    from one_to_many_gan_tpu.data import synthetic_images
+    from one_to_many_gan_tpu.export import export_inference_artifact
+    from tests.helpers import write_tiny_config
+
+    config = load_config(
+        write_tiny_config(tmp_path, tpu_section="\n[tpu]\nema_decay = 0.99\n")
+    )
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    ).run(max_steps=3)
+
+    artifact = export_inference_artifact(config, tmp_path / "model.npz")
+
+    ckpt_dir = (
+        config["training"]["checkpoint_directory"]
+        / config["training"]["training_run"]
+        / "models"
+    )
+    ckpt_bytes = sum(p.stat().st_size for p in ckpt_dir.rglob("*") if p.is_file())
+    assert artifact.stat().st_size < 0.5 * ckpt_bytes
+
+    from_ckpt = InferenceEngine(config, buckets=(4,))
+    from_art = InferenceEngine(config, buckets=(4,), artifact=artifact)
+    assert from_art.step == from_ckpt.step == 3
+    assert from_art.ema is True
+    src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+    np.testing.assert_array_equal(
+        from_art.generate(src, 4, seed=1), from_ckpt.generate(src, 4, seed=1)
+    )
+    with pytest.raises(ValueError, match="immutable artifact"):
+        from_art.reload()
+
+
 def test_error_paths(server):
     engine, base, *_ = server
     with pytest.raises(ValueError, match="largest compiled bucket"):
