@@ -19,8 +19,10 @@ ModulatedResnetBlock consumes ONE w for both its convs, builder.py:220-230).
 
 ``extract`` returns the feature map after each style block (the tap for
 the θ-path-length loss, builder.py:232-249): after each modulated resnet
-block's residual add, and after each upsample-stage modulated conv
-*before* its ReLU; it returns immediately after the last style block.
+block's residual add, and after each upsample-stage modulated conv — where
+the stored tap is *post*-ReLU for every upsample conv except the last
+(the reference's ``nn.ReLU(inplace=True)`` mutates the appended tensor);
+it returns immediately after the last style block, pre-ReLU.
 """
 
 from __future__ import annotations
@@ -142,8 +144,19 @@ class Generator(nn.Module):
         return jnp.tanh(self.out_conv(z))
 
     def extract(self, z: jax.Array, w: jax.Array) -> list[jax.Array]:
-        """Feature maps after each style block (path-loss taps)."""
+        """Feature maps after each style block (path-loss taps).
+
+        Tap placement matches the reference's OBSERVED semantics, not its
+        apparent ones: ``extract`` (builder.py:232-249) appends the conv
+        output and the decoder's ``nn.ReLU(inplace=True)`` (builder.py:197)
+        then mutates that same tensor in place — so every upsample-conv tap
+        EXCEPT the last is effectively post-ReLU; the last style block
+        returns before its ReLU runs and stays pre-ReLU. Verified against
+        the actual reference code by weight transplant
+        (tests/test_reference_parity.py::test_generator_extract_all_taps).
+        """
         features = []
+        n_total = len(self.dec_blocks) + len(self.dec_up)
         i = 0
         for block in self.dec_blocks:
             z = block(z, w[i])
@@ -152,10 +165,10 @@ class Generator(nn.Module):
         for conv in self.dec_up:
             z = upsample2x(z)
             z = conv(z, w[i])
-            features.append(z)
             i += 1
-            if i < len(self.dec_blocks) + len(self.dec_up):
+            if i < n_total:
                 z = jax.nn.relu(z)
+            features.append(z)
         return features
 
     def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
