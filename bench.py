@@ -34,9 +34,15 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-REFERENCE_GPU_IMG_PER_SEC = 20.0  # documented estimate; see module docstring
+# Documented estimate; see module docstring. A measured same-host CPU-vs-CPU
+# lower bound on the speedup ratio lives in BASELINE.md ("baseline
+# denominator" section) — the 20 img/s GPU figure stays the official
+# denominator until a real reference GPU run exists.
+REFERENCE_GPU_IMG_PER_SEC = 20.0
 
 BATCH = int(os.environ.get("OTM_BENCH_BATCH", "16"))
 IMAGE_SIZE = int(os.environ.get("OTM_BENCH_SIZE", "256"))
@@ -52,9 +58,84 @@ MEASURE_STEPS = int(os.environ.get("OTM_BENCH_STEPS", "20"))
 # one extra dispatch per step) — the 512^2 memory/batch lever.
 SPLIT = os.environ.get("OTM_BENCH_SPLIT", "0") == "1"
 REMAT_D = os.environ.get("OTM_BENCH_REMAT_D", "same")
+# Split the G backward into two accumulated sub-backwards (the 512²
+# memory lever on top of SPLIT; tpu.g_loss_split).
+G_SPLIT = os.environ.get("OTM_BENCH_G_SPLIT", "0") == "1"
+
+
+def _emit_unavailable(detail: str) -> None:
+    """Emit the machine-readable failure record (still ONE JSON line)."""
+    print(
+        json.dumps(
+            {
+                "metric": f"train_images_per_sec_per_chip_{IMAGE_SIZE}x{IMAGE_SIZE}",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": "tpu_unavailable",
+                "detail": detail[:500],
+            }
+        )
+    )
+
+
+def probe_backend(timeout_s: int, attempts: int, backoff_s: float) -> str | None:
+    """Probe device availability in a subprocess before committing to a run.
+
+    The axon tunnel can be down for hours at a time, and a hung backend init
+    cannot be interrupted in-process (CLAUDE.md: probe with ``timeout 110
+    python -c "import jax; print(jax.devices())"``). Runs that probe as a
+    child with a hard timeout, retrying ``attempts`` times with linear
+    backoff. Returns None when a probe succeeds, else a short diagnostic
+    string (the round's perf artifact then records a structured error
+    instead of a bare traceback — VERDICT r3 #1).
+    """
+    last = "no attempts made"
+    for i in range(attempts):
+        if i:
+            time.sleep(backoff_s * i)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {timeout_s}s (attempt {i + 1}/{attempts})"
+            continue
+        if r.returncode == 0:
+            return None
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        last = (tail[-1] if tail else f"probe rc={r.returncode}") + (
+            f" (attempt {i + 1}/{attempts})"
+        )
+    return last
 
 
 def main() -> None:
+    detail = probe_backend(
+        timeout_s=int(os.environ.get("OTM_BENCH_PROBE_TIMEOUT", "110")),
+        attempts=int(os.environ.get("OTM_BENCH_PROBE_ATTEMPTS", "3")),
+        backoff_s=float(os.environ.get("OTM_BENCH_PROBE_BACKOFF", "30")),
+    )
+    if detail is not None:
+        _emit_unavailable(detail)
+        return
+
+    try:
+        _run()
+    except RuntimeError as e:
+        # the tunnel can still die between the probe and the run; keep the
+        # artifact machine-readable for backend failures, re-raise real bugs
+        msg = str(e)
+        if "backend" in msg.lower() or "axon" in msg.lower():
+            _emit_unavailable(f"mid-run backend failure: {msg}")
+            return
+        raise
+
+
+def _run() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -75,6 +156,7 @@ def main() -> None:
             "remat": REMAT,
             "remat_d": REMAT_D,
             "split_phases": SPLIT,
+            "g_loss_split": G_SPLIT,
             # default ON: the fused VMEM warp kernel is exactness-tested
             # against the XLA path and measured +3% end-to-end (the bench
             # is single-chip; the kernel is gated off under spatial
