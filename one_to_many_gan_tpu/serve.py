@@ -43,7 +43,7 @@ import json
 import threading
 import time
 import zipfile
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -221,6 +221,10 @@ class _Stats:
             if len(self.latencies_ms) > 10_000:
                 del self.latencies_ms[:5_000]
 
+    def error(self):
+        with self.lock:
+            self.errors += 1
+
     def snapshot(self) -> dict:
         with self.lock:
             lat = np.asarray(self.latencies_ms, np.float64)
@@ -274,11 +278,11 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
                 try:
                     step = engine.reload()
                 except ValueError as exc:  # artifact-backed engine
-                    stats.errors += 1
+                    stats.error()
                     self._json(400, {"error": str(exc)})
                     return
                 except Exception as exc:  # noqa: BLE001
-                    stats.errors += 1
+                    stats.error()
                     self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
                     return
                 self._json(200, {"status": "ok", "step": step})
@@ -305,11 +309,11 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
                 )
                 outs = engine.generate(src, n, seed=seed, theta=theta)
             except ValueError as exc:
-                stats.errors += 1
+                stats.error()
                 self._json(400, {"error": str(exc)})
                 return
             except Exception as exc:  # noqa: BLE001 — surface, don't kill server
-                stats.errors += 1
+                stats.error()
                 self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
                 return
 
@@ -333,10 +337,15 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
     return Handler
 
 
-def make_server(engine: InferenceEngine, host="0.0.0.0", port=8000) -> HTTPServer:
-    """Single-threaded HTTPServer: requests serialize naturally with the
-    one device; the engine lock makes programmatic concurrent use safe."""
-    return HTTPServer((host, port), make_handler(engine, _Stats()))
+def make_server(
+    engine: InferenceEngine, host="0.0.0.0", port=8000
+) -> ThreadingHTTPServer:
+    """Threaded HTTP server. Device work still serializes on the engine
+    lock (one chip), but threading lets cheap requests (/healthz, /stats)
+    and the host-side encode/decode of concurrent clients overlap the
+    device call instead of queueing behind it; ``_Stats`` takes its own
+    lock for every mutation, so the counters survive the races."""
+    return ThreadingHTTPServer((host, port), make_handler(engine, _Stats()))
 
 
 def main() -> None:

@@ -261,3 +261,53 @@ def test_error_paths(server):
         assert exc_info.value.code == 400
     with urllib.request.urlopen(f"{base}/stats", timeout=30) as resp:
         assert json.loads(resp.read())["errors"] >= 3
+
+
+def test_concurrent_clients_mixed_formats(server):
+    """4 threads x (zip + npy) against the ThreadingHTTPServer: every
+    response is well-formed and the stats counters survive the races
+    (VERDICT r3 #7)."""
+    _, base, *_ = server
+    src = _source_png()
+    with urllib.request.urlopen(f"{base}/stats", timeout=30) as resp:
+        before = json.loads(resp.read())
+    results: list[tuple[int, str, bytes]] = []
+    errors: list[Exception] = []
+    lock = threading.Lock()
+
+    def client(i: int):
+        try:
+            for fmt in ("zip", "npy"):
+                body, ctype = _post(
+                    base, f"n=4&seed={i}&format={fmt}", src
+                )
+                with lock:
+                    results.append((i, ctype, body))
+        except Exception as exc:  # pragma: no cover - failure detail
+            with lock:
+                errors.append(exc)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert len(results) == 8
+    for _i, ctype, body in results:
+        if ctype == "application/zip":
+            with zipfile.ZipFile(io.BytesIO(body)) as zf:
+                assert len(zf.namelist()) == 4
+        else:
+            arr = np.load(io.BytesIO(body))
+            assert arr.shape == (4, SIZE, SIZE, 1) and arr.dtype == np.uint8
+    # same seed+format across threads must still be deterministic
+    npys = {
+        i: body for i, ctype, body in results if ctype != "application/zip"
+    }
+    body2, _ = _post(base, "n=4&seed=2&format=npy", src)
+    assert npys[2] == body2
+    with urllib.request.urlopen(f"{base}/stats", timeout=30) as resp:
+        after = json.loads(resp.read())
+    assert after["requests"] >= before["requests"] + 9
+    assert after["errors"] == before["errors"]  # no error undercount/overcount
