@@ -30,8 +30,11 @@ warp a pure gather.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 ALL_CATEGORIES: tuple[str, ...] = (
     "xflip",
@@ -237,6 +240,7 @@ def warp_bilinear(
     *,
     antialias: bool = False,
     pallas: bool = False,
+    supersample: bool = False,
     mesh=None,
 ) -> jax.Array:
     """Batched affine warp, NHWC, zero padding outside the frame.
@@ -287,21 +291,28 @@ def warp_bilinear(
     16x of true 2x supersampling with this formulation).
     """
     b = images.shape[0]
+    # ``supersample=True`` (tpu.ada_supersample): the TRUE published
+    # pipeline — 2x sym6 upsample, bilinear warp on the supersampled grid,
+    # sym6 downsample — instead of the zero-cost adaptive-tent
+    # approximation (~16x the warp FLOPs; see _warp_supersampled).
+    impl = (
+        _warp_supersampled
+        if supersample
+        else functools.partial(_warp_impl, antialias=antialias, pallas=pallas)
+    )
     dp = mesh.shape.get("data", 1) if mesh is not None else 1
     if dp > 1 and b % dp == 0:
-        import functools
-
         from jax.sharding import PartitionSpec as P
 
         d = P("data")
         return jax.shard_map(
-            functools.partial(_warp_impl, antialias=antialias, pallas=pallas),
+            impl,
             mesh=mesh,
             in_specs=(d, d),
             out_specs=d,
             check_vma=False,
         )(images, g_inv)
-    return _warp_impl(images, g_inv, antialias=antialias, pallas=pallas)
+    return impl(images, g_inv)
 
 
 def _warp_impl(
@@ -354,13 +365,32 @@ def _warp_impl(
         )
         return out[..., None]
 
+    return _tent_contract(images, sx, sy, width_x, width_y, antialias=antialias)
+
+
+def _tent_contract(
+    images: jax.Array,
+    sx: jax.Array,
+    sy: jax.Array,
+    width_x: jax.Array,
+    width_y: jax.Array,
+    *,
+    antialias: bool,
+) -> jax.Array:
+    """The chunked tent-weight contraction core: sample ``images``
+    [B,H',W',C] at positions (sy, sx) [B,H,W] (input-pixel units, zero
+    outside the frame) with per-image separable tent widths. The gather-
+    free sampling engine shared by the direct warp and the supersampled
+    path below."""
+    b, hs, ws, c = images.shape
+    _, h, w = sx.shape
     # Row chunk size: keep the per-image [chunk, W, H'] tent intermediate
     # ~<=16M elements (the whole image at 256²: fewest, largest matmuls —
     # batching the contraction across images instead was measured SLOWER,
     # 7.5 -> 12.4 ms at b16, because a [B]-batched matmul splits the MXU
     # M-dimension into B small ops).
     budget = 16 * 2**20  # elements
-    chunk = max(1, min(h, budget // (w * h)))
+    chunk = max(1, min(h, budget // (w * hs)))
     while h % chunk:
         chunk -= 1
     n_chunks = h // chunk
@@ -425,6 +455,123 @@ def _warp_impl(
     return jax.lax.map(warp_one, (images, sx, sy, width_x, width_y))
 
 
+# --------------------------------------------- true 2x supersampled warp
+
+# sym6 scaling (low-pass) filter — public wavelet constants (sum = sqrt 2).
+# The published ADA pipeline's geometric branch warps through a 2x
+# supersampled, wavelet-filtered image; SYM6 is its published choice.
+_SYM6_LO = np.array(
+    [
+        0.015404109327027373,
+        0.0034907120842174702,
+        -0.11799011114819057,
+        -0.048311742585633,
+        0.4910559419267466,
+        0.787641141030194,
+        0.3379294217276218,
+        -0.07263752278646252,
+        -0.021060292512300564,
+        0.04472490177066578,
+        0.0017677118642428036,
+        -0.007800708325034148,
+    ]
+)
+
+
+@functools.lru_cache(maxsize=8)
+def _ss_updown_ops(n: int):
+    """(U [2n,n], D [n,2n], a_up, a_dn): dense 2x up/down operators with
+    the sym6 low-pass and their measured sample-position phases.
+
+    The even-length wavelet has half-sample phases, so the up/down shift
+    pair is SELF-CALIBRATED: pick the (c_up, c_dn) whose composition
+    D @ U is closest to identity in the interior, then measure the
+    residual phases from the operator row centroids. Upsampled pixel j
+    then represents continuous input coordinate (j - a_up) / 2, and
+    down-output i reads its centroid from upsampled position 2i + a_dn.
+    Built once per size in numpy at trace time; applied as MXU matmuls.
+    """
+    f = _SYM6_LO / _SYM6_LO.sum()  # DC gain 1
+    length = len(f)
+    idx_n = np.arange(n)
+    idx_2n = np.arange(2 * n)
+
+    def up_op(c):
+        u = np.zeros((2 * n, n))
+        for j in range(2 * n):
+            for i in range(n):
+                k = j - 2 * i + c
+                if 0 <= k < length:
+                    u[j, i] = 2 * f[k]
+        return u
+
+    def down_op(c):
+        d = np.zeros((n, 2 * n))
+        for i in range(n):
+            for j in range(2 * n):
+                k = j - 2 * i + c
+                if 0 <= k < length:
+                    d[i, j] = f[k]
+        return d
+
+    best = None
+    for c_up in range(length):
+        u = up_op(c_up)
+        for c_dn in range(length):
+            d = down_op(c_dn)
+            err = np.abs(d @ u - np.eye(n))[4:-4, 4:-4].sum()
+            if best is None or err < best[0]:
+                best = (err, u, d)
+    _, u, d = best
+    j_mid = n
+    a_up = j_mid - 2 * (u[j_mid] @ idx_n / u[j_mid].sum())
+    i_mid = n // 2
+    a_dn = (d[i_mid] @ idx_2n / d[i_mid].sum()) - 2 * i_mid
+    return u, d, float(a_up), float(a_dn)
+
+
+def _warp_supersampled(images: jax.Array, g_inv: jax.Array) -> jax.Array:
+    """The published 2x supersampled filtered warp (tpu.ada_supersample).
+
+    Pipeline: sym6 2x upsample (two dense MXU matmuls) -> plain bilinear
+    warp on the supersampled grid (the shared gather-free tent
+    contraction at width 1) -> sym6 low-pass 2x downsample. ~16x the
+    direct warp's contraction FLOPs — the QUALITY opt-in; the default
+    adaptive-tent path approximates this at zero extra cost and its error
+    is bounded against the same construction
+    (tests/test_ada_supersampled_oracle.py). Note: unlike the tent path,
+    an identity transform is only interior-exact (D @ U deviates at the
+    zero-extension borders), faithful to the published pipeline.
+    Differentiable in ``images`` and ``g_inv``.
+    """
+    b, h, w, c = images.shape
+    uh, dh, a_up_h, a_dn_h = _ss_updown_ops(h)
+    uw, dw, a_up_w, a_dn_w = _ss_updown_ops(w)
+    dtype = images.dtype
+    uh_m, dh_m = jnp.asarray(uh, dtype), jnp.asarray(dh, dtype)
+    uw_m, dw_m = jnp.asarray(uw, dtype), jnp.asarray(dw, dtype)
+
+    img_up = jnp.einsum("Jh,bhwc->bJwc", uh_m, images)
+    img_up = jnp.einsum("Kw,bJwc->bJKc", uw_m, img_up)  # [B,2H,2W,C]
+
+    # supersampled OUTPUT grid: out2 pixel j represents output coordinate
+    # (j - a_dn)/2; map through g_inv (centered convention), then to
+    # upsampled-image pixel units via a_up.
+    oy = (jnp.arange(2 * h, dtype=jnp.float32) - a_dn_h) / 2.0 - (h - 1) / 2.0
+    ox = (jnp.arange(2 * w, dtype=jnp.float32) - a_dn_w) / 2.0 - (w - 1) / 2.0
+    gy, gx = jnp.meshgrid(oy, ox, indexing="ij")
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [2H,2W,3]
+    src = jnp.einsum("bij,hwj->bhwi", g_inv, grid)
+    sx_u = 2.0 * (src[..., 0] + (w - 1) / 2.0) + a_up_w  # [B,2H,2W]
+    sy_u = 2.0 * (src[..., 1] + (h - 1) / 2.0) + a_up_h
+
+    ones = jnp.ones((b,), jnp.float32)
+    warped2 = _tent_contract(img_up, sx_u, sy_u, ones, ones, antialias=False)
+
+    out = jnp.einsum("hJ,bJKc->bhKc", dh_m, warped2)
+    return jnp.einsum("wK,bhKc->bhwc", dw_m, out)
+
+
 def apply_color(images: jax.Array, cmat: jax.Array) -> jax.Array:
     """Apply per-sample 4x4 color matrices to NHWC images (C in {1, 3})."""
     c = images.shape[-1]
@@ -452,6 +599,7 @@ def augment(
     *,
     antialias: bool = True,
     pallas: bool = False,
+    supersample: bool = False,
     mesh=None,
 ) -> jax.Array:
     """Differentiable ADA augmentation of an NHWC image batch.
@@ -463,7 +611,10 @@ def augment(
     ``pallas`` routes the geometric warp through the fused VMEM kernel
     (tpu.ada_pallas; single-channel images); pass ``mesh`` when a
     data-parallel mesh is active so the kernel runs shard_map'd over the
-    batch axis (see ``warp_bilinear``).
+    batch axis (see ``warp_bilinear``). ``supersample``
+    (tpu.ada_supersample) runs the TRUE 2x supersampled sym6-filtered
+    warp instead of the adaptive-tent approximation — the quality opt-in
+    at ~16x the warp FLOPs; it overrides ``antialias``/``pallas``.
     """
     cats = frozenset(categories)
     b, h, w, c = images.shape
@@ -472,7 +623,10 @@ def augment(
     out = images
     if cats & {"xflip", "rotate90", "xint", "scale", "rotate", "aniso", "xfrac"}:
         g_inv = geometric_matrix(k_geom, b, h, w, p, cats)
-        out = warp_bilinear(out, g_inv, antialias=antialias, pallas=pallas, mesh=mesh)
+        out = warp_bilinear(
+            out, g_inv, antialias=antialias, pallas=pallas,
+            supersample=supersample, mesh=mesh,
+        )
     if cats & {"brightness", "contrast", "lumaflip", "hue", "saturation"}:
         cmat = color_matrix(k_color, b, c, p, cats)
         out = apply_color(out, cmat)

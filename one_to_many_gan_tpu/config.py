@@ -106,6 +106,14 @@ class TpuConfig(TypedDict):
     # math (both programs derive the same per-step RNG split). Forces
     # steps_per_call = 1.
     split_phases: bool
+    # Split the G phase's six-term backward into TWO accumulated
+    # sub-backwards — {kl,rec,idt,gan,style} and {path} — exact math
+    # (grads of a sum = sum of grads, up to float reassociation) at the
+    # price of one extra encoder forward. Each sub-program's live
+    # activation peak is a fraction of the joint 11-pass backward's: the
+    # memory lever that unlocks batch >4 at 512² on a 16GB chip, on top
+    # of split_phases.
+    g_loss_split: bool
     # Fused steps executed per jitted call (lax.scan inner loop). Amortizes
     # host dispatch overhead; clamped to divide the log/checkpoint
     # intervals so cadences are preserved.
@@ -120,6 +128,12 @@ class TpuConfig(TypedDict):
     # Anti-aliased ADA warp (the published pipeline's supersampled-warp
     # behavior; see augment/pipeline.py). Disable to use plain bilinear.
     ada_antialias: bool
+    # TRUE 2x supersampled sym6-filtered ADA warp (the published pipeline
+    # verbatim) instead of the zero-cost adaptive-tent approximation:
+    # ~16x the warp FLOPs — the quality opt-in for runs where D's mid-p
+    # training signal must match the published filter family exactly.
+    # Overrides ada_antialias/ada_pallas for the geometric warp.
+    ada_supersample: bool
     # Route the ADA geometric warp through the fused Pallas VMEM kernel
     # (ops/pallas/warp.py; single-channel images). Same math as the XLA
     # path without its HBM tent intermediate.
@@ -150,6 +164,17 @@ class TpuConfig(TypedDict):
     # deterministic — useful for reproducing the divergence). The
     # reference trains silently through NaNs.
     halt_on_nonfinite: bool
+    # Opt-in TensorBoard event files alongside the text log and
+    # metrics.jsonl (utils/tensorboard.py; offline export also available
+    # via `python -m one_to_many_gan_tpu.utils.tensorboard`).
+    tensorboard: bool
+    # Hard-fail FID comparability guard: when true, validation raises
+    # instead of silently logging a random-projection (relative-only) FID
+    # if InceptionV3 weights are unavailable. A production run whose FID
+    # must be comparable to the reference protocol (clean-fid InceptionV3,
+    # reference src/core/evaluation.py:64-69) should set this; the default
+    # keeps smoke/dev runs working in weight-less environments.
+    require_inception_fid: bool
 
 
 class Config(TypedDict):
@@ -174,17 +199,21 @@ _TPU_DEFAULTS: TpuConfig = {
     "remat": "none",
     "remat_d": "same",
     "split_phases": False,
+    "g_loss_split": False,
     "steps_per_call": 1,
     "resume": True,
     "native_loader": False,
     "profile_step": 0,
     "ada_antialias": True,
+    "ada_supersample": False,
     "ada_pallas": False,
     "prefetch": 2,
     "s2d_pack": False,
     "compilation_cache_dir": "/tmp/jax_cache",
     "keep_checkpoints": 3,
     "halt_on_nonfinite": True,
+    "require_inception_fid": False,
+    "tensorboard": False,
 }
 
 _REQUIRED_SECTIONS = (

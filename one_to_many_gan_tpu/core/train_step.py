@@ -88,6 +88,7 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
     r1_interval = tpu_cfg["r1_interval"]
     ada_antialias = tpu_cfg["ada_antialias"]
     ada_pallas = tpu_cfg["ada_pallas"]
+    ada_supersample = tpu_cfg["ada_supersample"]
     # ADA runs in the activation dtype: its output only ever feeds the
     # (bf16) discriminator, and its warp contraction halves its HBM
     # intermediates under bf16 (augment/pipeline.py; tent weights and
@@ -159,7 +160,8 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
         buffered, buffer_state = buffer_apply(state.buffer, fakes, keys[1], mesh)
         aug_fake = augment(
             buffered.astype(aug_dtype), p_used, keys[2],
-            antialias=ada_antialias, pallas=ada_pallas, mesh=mesh,
+            antialias=ada_antialias, pallas=ada_pallas,
+            supersample=ada_supersample, mesh=mesh,
         )
         aug_real = augment(
             batches.d_shoemarks.astype(aug_dtype),
@@ -167,6 +169,7 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             keys[3],
             antialias=ada_antialias,
             pallas=ada_pallas,
+            supersample=ada_supersample,
             mesh=mesh,
         )
 
@@ -230,6 +233,8 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             "ada_p": p_used,
         }
 
+    g_loss_split = tpu_cfg["g_loss_split"]
+
     def g_phase(
         state: TrainState, batches: Batches, rng: jax.Array, p_used: jax.Array
     ) -> tuple[TrainState, dict[str, jax.Array]]:
@@ -242,18 +247,23 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
         d1 = jnp.clip(theta + fin_diff_h / 2.0, 0.0, 1.0)
         d2 = jnp.clip(theta - fin_diff_h / 2.0, 0.0, 1.0)
 
-        def g_loss_fn(params_g, params_m, params_s):
+        def encode_latents(params_g):
             combined = jnp.concatenate(
                 [batches.g_shoeprints, batches.g_shoemarks], axis=0
             )
             latents = gen_encode(params_g, combined)
             kl = losses.kl_loss(latents)
             if add_latent_noise:
+                # same key either way: the split legs must see the SAME
+                # noise draw the fused backward sees
                 latents = latents + jax.random.normal(
                     keys[6], latents.shape, latents.dtype
                 )
             print_latent, mark_latent = jnp.split(latents, 2, axis=0)
+            return print_latent, mark_latent, kl
 
+        def main_terms(print_latent, mark_latent, kl, params_g, params_m, params_s):
+            """All loss terms except path: kl + rec + idt + gan + style."""
             # The decoder is strictly per-sample (modulated convs, per-block
             # style routing, no cross-batch statistics), so the reference's
             # three sequential decodes (reconstruction θ=0 / identity with
@@ -282,7 +292,8 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             # GAN: augment the translations, score with the UPDATED D.
             aug_gen = augment(
                 generated.astype(aug_dtype), p_used, keys[8],
-                antialias=ada_antialias, pallas=ada_pallas, mesh=mesh,
+                antialias=ada_antialias, pallas=ada_pallas,
+                supersample=ada_supersample, mesh=mesh,
             )
             # scores from the UPDATED discriminator (state.params_d here)
             gen_scores = disc_apply(state.params_d, aug_gen).astype(jnp.float32)
@@ -292,9 +303,26 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             rec_w = ext_apply(params_s, generated)
             style = losses.style_cycle_loss(w_t[-1], rec_w)
 
-            # θ-path length: finite difference through the decoder taps.
-            # Both finite-difference legs (training.py:226-233) batch into
-            # one extract at 2x batch.
+            total = (
+                gan
+                + opt_cfg["identity_loss_lambda"] * idt_loss
+                + opt_cfg["reconstruction_loss_lambda"] * rec_loss
+                + opt_cfg["kl_loss_lambda"] * kl
+                + opt_cfg["style_cycle_loss_lambda"] * style
+            )
+            aux = {
+                "gan_loss": gan,
+                "reconstruction_loss": rec_loss,
+                "identity_loss": idt_loss,
+                "kl_loss": kl,
+                "style_loss": style,
+            }
+            return total, aux
+
+        def path_term(print_latent, params_g, params_m):
+            """The θ-path-length term: finite difference through the decoder
+            taps. Both finite-difference legs (training.py:226-233) batch
+            into one extract at 2x batch."""
             w_path = sample_w(params_m, keys[9], batch, 1.0)
             w1 = apply_domain(w_path, d1)
             w2 = apply_domain(w_path, d2)
@@ -304,28 +332,48 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             f1 = [f[:batch] for f in f12]
             f2 = [f[batch:] for f in f12]
             path = losses.path_loss(f1, f2, fin_diff_h)
+            return opt_cfg["path_loss_lambda"] * path, path
 
-            total = (
-                gan
-                + opt_cfg["identity_loss_lambda"] * idt_loss
-                + opt_cfg["reconstruction_loss_lambda"] * rec_loss
-                + opt_cfg["kl_loss_lambda"] * kl
-                + opt_cfg["path_loss_lambda"] * path
-                + opt_cfg["style_cycle_loss_lambda"] * style
-            )
-            aux = {
-                "gan_loss": gan,
-                "reconstruction_loss": rec_loss,
-                "identity_loss": idt_loss,
-                "kl_loss": kl,
-                "path_loss": path,
-                "style_loss": style,
-            }
-            return total, aux
+        if g_loss_split:
+            # tpu.g_loss_split: grads of a sum = sum of grads, so the
+            # six-term backward splits into TWO accumulated sub-backwards —
+            # {kl,rec,idt,gan,style} (encode + 3B decode + D + extractor)
+            # and {path} (encode + 2B extract). Each sub-program's
+            # live-activation peak is a fraction of the joint backward's,
+            # at the price of one extra encoder forward — the 512² memory
+            # lever on top of split_phases (VERDICT r3 #4). Exact up to
+            # float reassociation of the gradient sums.
+            def leg_main(params_g, params_m, params_s):
+                pl, ml, kl = encode_latents(params_g)
+                return main_terms(pl, ml, kl, params_g, params_m, params_s)
 
-        (total_g, aux), (g_grads, m_grads, s_grads) = jax.value_and_grad(
-            g_loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(state.params_g, state.params_m, state.params_s)
+            def leg_path(params_g, params_m):
+                pl, _, _ = encode_latents(params_g)
+                return path_term(pl, params_g, params_m)
+
+            (main_total, aux), (g_a, m_a, s_grads) = jax.value_and_grad(
+                leg_main, argnums=(0, 1, 2), has_aux=True
+            )(state.params_g, state.params_m, state.params_s)
+            (path_weighted, path_raw), (g_b, m_b) = jax.value_and_grad(
+                leg_path, argnums=(0, 1), has_aux=True
+            )(state.params_g, state.params_m)
+            g_grads = jax.tree.map(jnp.add, g_a, g_b)
+            m_grads = jax.tree.map(jnp.add, m_a, m_b)
+            total_g = main_total + path_weighted
+            aux = {**aux, "path_loss": path_raw}
+        else:
+
+            def g_loss_fn(params_g, params_m, params_s):
+                pl, ml, kl = encode_latents(params_g)
+                total_main, aux = main_terms(
+                    pl, ml, kl, params_g, params_m, params_s
+                )
+                path_weighted, path_raw = path_term(pl, params_g, params_m)
+                return total_main + path_weighted, {**aux, "path_loss": path_raw}
+
+            (total_g, aux), (g_grads, m_grads, s_grads) = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(state.params_g, state.params_m, state.params_s)
 
         g_updates, opt_g = opts["g"].update(g_grads, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, g_updates)
