@@ -301,7 +301,12 @@ def val_checkpoint(
         generated.append(out_u8)
     generated = np.concatenate(generated)[:n_eval]
 
-    extractor, extractor_name = default_extractor()
+    # tpu.require_inception_fid: a run whose FID must be comparable to the
+    # reference protocol hard-fails here rather than silently logging a
+    # relative-only random-projection number (metrics/fid.py).
+    extractor, extractor_name = default_extractor(
+        require_inception=config["tpu"]["require_inception_fid"]
+    )
     gen_feats = extractor(generated)
     if reals_cache is not None and extractor_name in reals_cache:
         real_feats = reals_cache[extractor_name]

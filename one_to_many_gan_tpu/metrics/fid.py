@@ -141,17 +141,35 @@ def random_projection_extractor(
     return extract
 
 
-def default_extractor() -> tuple[FeatureFn, str]:
+class InceptionUnavailableError(RuntimeError):
+    """Raised when ``require_inception=True`` but no InceptionV3 weights
+    could be loaded — the run would otherwise silently log relative-only
+    random-projection FID numbers that are NOT comparable to the reference
+    protocol (clean-fid InceptionV3, reference src/core/evaluation.py:64-69).
+    """
+
+
+def default_extractor(*, require_inception: bool = False) -> tuple[FeatureFn, str]:
     """Best available feature extractor + its name.
 
     Prefers InceptionV3 pool3 when pretrained weights are present
     (metrics/inception.py), else the deterministic random-conv fallback.
+    With ``require_inception=True`` (tpu.require_inception_fid) the
+    fallback becomes a hard error instead.
     """
     from one_to_many_gan_tpu.metrics.inception import try_load_inception
 
     inception = try_load_inception()
     if inception is not None:
         return inception, "inception_v3_pool3"
+    if require_inception:
+        msg = (
+            "tpu.require_inception_fid=true but no InceptionV3 weights are "
+            "available (set OTM_INCEPTION_WEIGHTS or place them on the "
+            "default path — see metrics/inception.py); refusing to log a "
+            "non-comparable random-projection FID"
+        )
+        raise InceptionUnavailableError(msg)
     return random_projection_extractor(), "random_projection_v1"
 
 
