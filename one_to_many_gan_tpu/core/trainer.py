@@ -86,14 +86,28 @@ def save_checkpoint(mgr, step: int, state: TrainState, *, wait: bool = True) -> 
 
 
 def restore_checkpoint(mgr, state: TrainState) -> tuple[TrainState, int]:
-    """Restore the latest step if present; returns (state, start_step)."""
+    """Restore the latest step if present; returns (state, start_step).
+
+    The abstract tree carries each leaf's SHARDING, not just shape/dtype:
+    the template ``state`` is already placed on the run's mesh (Trainer
+    replicates before restoring), so Orbax restores every array directly
+    onto its target devices. Without the shardings a single process
+    silently round-trips through host memory and implicit resharding at
+    the next jit call — and a MULTI-process restore cannot work at all
+    (Orbax can't assemble a cross-host array without target shardings).
+    Covered by tests/test_parallel.py (4x2-mesh save->restore->step
+    equality) and tests/test_multihost.py (two-process resume).
+    """
     import orbax.checkpoint as ocp
 
     latest = mgr.latest_step()
     if latest is None:
         return state, 0
     abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        lambda x: jax.ShapeDtypeStruct(
+            jnp.shape(x), x.dtype, sharding=getattr(x, "sharding", None)
+        ),
+        state,
     )
     restored = mgr.restore(latest, args=ocp.args.StandardRestore(abstract))
     return restored, latest

@@ -56,6 +56,9 @@ def main() -> None:
             tmp, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
         )
     )
+    # checkpoints must land in ONE directory shared by both processes
+    # (Orbax coordinates the multi-process commit itself)
+    config["training"]["checkpoint_directory"] = out_path.parent / "ckpt_shared"
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
 
@@ -81,6 +84,42 @@ def main() -> None:
 
     payload = {k: float(v) for k, v in metrics.items()}
     payload["step"] = int(new_state.step)
+
+    # --- multi-host checkpoint round-trip (VERDICT r3 #3): save the
+    # stepped state across both processes, then restore it into a FRESH
+    # differently-seeded template via the sharding-aware abstract tree —
+    # impossible without target shardings (Orbax cannot assemble a
+    # cross-host array from shape/dtype alone).
+    import jax.numpy as jnp
+
+    from one_to_many_gan_tpu.core.trainer import (
+        _checkpoint_manager,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    mgr = _checkpoint_manager(config)
+    save_checkpoint(mgr, 1, new_state)
+    template = replicate(
+        mesh, init_train_state(config, models, jax.random.key(9))
+    )
+    restored, start = restore_checkpoint(_checkpoint_manager(config), template)
+    diffs = [
+        jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        for a, b in zip(
+            jax.tree.leaves(restored), jax.tree.leaves(new_state), strict=True
+        )
+    ]
+    payload["restore_step"] = int(start)
+    payload["restore_max_diff"] = float(jnp.max(jnp.stack(diffs)))
+    # shardings come from the TEMPLATE (the stepped state's buffer leaf may
+    # carry step-output sharding; a resume starts from replicate() placement)
+    payload["restore_shardings_ok"] = all(
+        a.sharding.is_equivalent_to(t.sharding, a.ndim)
+        for a, t in zip(
+            jax.tree.leaves(restored), jax.tree.leaves(template), strict=True
+        )
+    )
     out_path.write_text(json.dumps(payload))
     print(f"multihost child {pid} ok")
 

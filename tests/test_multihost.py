@@ -88,6 +88,13 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert got[0] == got[1], "processes disagree on replicated metrics"
     assert got[0].pop("step") == 1
     got[1].pop("step")
+    # multi-host checkpoint resume (VERDICT r3 #3): the two-process save
+    # committed, and the sharding-aware restore reproduced the stepped
+    # state exactly on the spanning mesh
+    for g in got:
+        assert g.pop("restore_step") == 1
+        assert g.pop("restore_max_diff") == 0.0
+        assert g.pop("restore_shardings_ok") is True
     for k, v in expected.items():
         np.testing.assert_allclose(
             got[0][k], v, rtol=2e-4, atol=2e-5,

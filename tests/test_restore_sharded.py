@@ -1,0 +1,100 @@
+"""Sharding-aware checkpoint restore (VERDICT r3 #3, weak #1).
+
+``restore_checkpoint`` builds its abstract tree WITH each leaf's sharding
+(the template state is already placed on the run's mesh), so Orbax
+restores arrays directly onto their target devices. This is load-bearing
+for the elastic multi-host story (docs/OPERATIONS.md): without target
+shardings a multi-process restore cannot assemble global arrays at all.
+
+Here: save -> restore -> step equality under the 4x2 data x spatial mesh
+(the multi-HOST leg lives in tests/test_multihost.py).
+"""
+
+import jax
+import numpy as np
+
+from one_to_many_gan_tpu.config import load_config
+from one_to_many_gan_tpu.core.state import Models, init_train_state
+from one_to_many_gan_tpu.core.train_step import Batches, make_train_step
+from one_to_many_gan_tpu.core.trainer import (
+    _checkpoint_manager,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from one_to_many_gan_tpu.parallel import make_mesh, replicate, shard_batch
+from tests.helpers import write_tiny_config
+
+
+def test_sharded_save_restore_step_equality(tmp_path):
+    config = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
+        )
+    )
+    models = Models(config)
+    mesh = make_mesh(4, 2)
+    step = jax.jit(make_train_step(config, models, mesh))
+    state = replicate(mesh, init_train_state(config, models, jax.random.key(0)))
+    rng_np = np.random.default_rng(0)
+    h, w = config["data"]["image_size"]
+
+    def mk():
+        return shard_batch(mesh, (rng_np.random((8, h, w, 1)) * 2 - 1).astype(
+            np.float32
+        ))
+
+    # one step first: the saved state must be non-trivial (optimizer
+    # moments, buffer contents, ADA accumulator all populated)
+    state, _ = step(state, Batches(mk(), mk(), mk(), mk()), jax.random.key(1))
+
+    mgr = _checkpoint_manager(config)
+    save_checkpoint(mgr, 1, state)
+
+    # fresh template with DIFFERENT weights, placed on the mesh: restore
+    # must bring back the saved values WITH the template's shardings
+    template = replicate(
+        mesh, init_train_state(config, models, jax.random.key(9))
+    )
+    restored, start = restore_checkpoint(mgr, template)
+    assert start == 1
+    # the contract: restored VALUES are the saved state's, restored
+    # SHARDINGS are the template's (the stepped state's buffer leaf may
+    # carry step-output sharding, e.g. P(None, 'spatial'); a fresh resume
+    # starts from the replicate() placement exactly like Trainer does)
+    for a, t, b in zip(
+        jax.tree.leaves(restored),
+        jax.tree.leaves(template),
+        jax.tree.leaves(state),
+        strict=True,
+    ):
+        assert a.sharding.is_equivalent_to(t.sharding, a.ndim), (
+            f"restore dropped sharding: {a.sharding} vs template {t.sharding}"
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # stepping the restored state matches stepping the original (same
+    # values; placement may legitimately differ on the buffer leaf)
+    batches2 = Batches(mk(), mk(), mk(), mk())
+    _, m1 = step(state, batches2, jax.random.key(2))
+    _, m2 = step(restored, batches2, jax.random.key(2))
+    for k in m1:
+        np.testing.assert_allclose(
+            np.asarray(m1[k]), np.asarray(m2[k]), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_single_device_restore_keeps_placement(tmp_path):
+    """No mesh: restore still round-trips values and placement."""
+    config = load_config(write_tiny_config(tmp_path, batch_size=2))
+    models = Models(config)
+    state = init_train_state(config, models, jax.random.key(3))
+    mgr = _checkpoint_manager(config)
+    save_checkpoint(mgr, 5, state)
+    template = init_train_state(config, models, jax.random.key(4))
+    restored, start = restore_checkpoint(mgr, template)
+    assert start == 5
+    for a, b in zip(
+        jax.tree.leaves(restored), jax.tree.leaves(state), strict=True
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
