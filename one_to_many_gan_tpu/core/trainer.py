@@ -275,6 +275,7 @@ class Trainer:
 
         self.logger = Logger(config["training"]["training_steps"])
         self._reals_cache: dict = {}  # FID real-side features, per extractor
+        self._tb = None  # lazy TensorBoard writer (tpu.tensorboard)
         self.ckpt_mgr = _checkpoint_manager(config)
         if config["tpu"]["resume"]:
             self.state, self.start_step = restore_checkpoint(self.ckpt_mgr, self.state)
@@ -446,6 +447,9 @@ class Trainer:
             # last interval.
             save_checkpoint(self.ckpt_mgr, step, self.state, wait=False)
         self.ckpt_mgr.wait_until_finished()  # flush async saves
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
         return self.state
 
     def _run_loop(self, schedule, step, get_group, total) -> int:
@@ -498,6 +502,14 @@ class Trainer:
                 # observability; trivially adaptable to TensorBoard/W&B).
                 with (run_dir / "metrics.jsonl").open("a") as f:
                     f.write(json.dumps({"step": step, **means}) + "\n")
+                if config["tpu"]["tensorboard"]:
+                    if self._tb is None:
+                        from one_to_many_gan_tpu.utils.tensorboard import (
+                            TensorBoardWriter,
+                        )
+
+                        self._tb = TensorBoardWriter(run_dir / "tensorboard")
+                    self._tb.write(step, means)
                 if config["tpu"]["halt_on_nonfinite"] and not all(
                     np.isfinite(v) for v in means.values()
                 ):
