@@ -32,7 +32,7 @@ from one_to_many_gan_tpu.augment import augment, make_ada_update
 from one_to_many_gan_tpu.config import Config
 from one_to_many_gan_tpu.core.buffer import buffer_apply
 from one_to_many_gan_tpu.core.state import Models, TrainState, make_optimizers
-from one_to_many_gan_tpu.models import apply_domain, sample_style_rngs
+from one_to_many_gan_tpu.models import StyleRngs, apply_domain, sample_style_rngs
 
 
 class Batches(NamedTuple):
@@ -480,4 +480,33 @@ def make_inference_fns(config: Config, models: Models):
         w = apply_domain(s, theta)
         return gen.apply(params_g, latent_n, w, method="decode")
 
-    return translate, one_to_many
+    def many_to_many(params_g, params_m, images, keys, n_styles: int, thetas):
+        """The cross-request serving batch: [B,H,W,C] sources, [B] typed
+        rng keys and [B] thetas -> [B, n_styles, H, W, C] translations.
+
+        One encode at B and one decode at B*n_styles — bigger MXU batches
+        than serving the B requests sequentially, and one host<->device
+        round trip instead of B. Request ``i``'s output depends only on
+        (images[i], keys[i], thetas[i], n_styles): the per-request style
+        draws are the vmap of ``one_to_many``'s, so a batched request
+        equals the solo path at the same n_styles bucket (same math,
+        batched execution). Serving layer: serve.py ``_Batcher``.
+        """
+        b = images.shape[0]
+        latents = gen.apply(params_g, images, method="encode")
+        latent_bn = jnp.repeat(latents, n_styles, axis=0)  # [B*n, ...]
+        rngs = jax.vmap(
+            lambda k: sample_style_rngs(k, n_styles, w_dim, n_blocks,
+                                        mixing_prob)
+        )(keys)
+        z1 = rngs.z1.reshape(b * n_styles, w_dim)
+        flat = StyleRngs(z1=z1, z2=z1, mix=jnp.asarray(False),
+                         crossover=jnp.asarray(0))
+        s = mapping.apply(params_m, flat, n_blocks, mix_styles=False,
+                          method="style_vector")
+        theta_bn = jnp.repeat(jnp.asarray(thetas, s.dtype), n_styles)
+        w = apply_domain(s, theta_bn)
+        out = gen.apply(params_g, latent_bn, w, method="decode")
+        return out.reshape(b, n_styles, *out.shape[1:])
+
+    return translate, one_to_many, many_to_many

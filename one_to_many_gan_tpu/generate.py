@@ -51,7 +51,7 @@ def generate(
     )
     img = normalize_u8(img_u8[None])[0]
 
-    _, one_to_many = make_inference_fns(config, models)
+    _, one_to_many, _ = make_inference_fns(config, models)
     outs = np.asarray(
         jax.jit(one_to_many, static_argnums=4)(
             params_g, state.params_m, img, jax.random.key(seed), n, theta

@@ -14,9 +14,11 @@ TPU-first serving shape: one encode + one batched decode per request
 (a single XLA call, styles batched on the device), N rounded UP to the
 nearest compiled bucket and the output sliced on the host. Any
 ``n <= max(buckets)`` therefore hits a cached executable; the bucket
-set bounds total compiles at startup. Requests are served sequentially
-on the single device — throughput comes from style batching inside the
-call, not from request threads racing for the chip.
+set bounds total compiles at startup. Concurrent requests coalesce
+through a dynamic batcher (``_Batcher``): up to ``--max-batch`` requests
+sharing an n bucket run as ONE ``many_to_many`` XLA call (sources
+batched on the batch axis, styles on the style axis) — K concurrent
+clients cost one device round trip, not K serialized calls.
 
 API (stdlib ``http.server``; no new dependencies):
 
@@ -94,9 +96,19 @@ class InferenceEngine:
             ``export.py`` (EMA generator + mapping only); mutually
             exclusive with ``state``, and /reload is unavailable (the
             artifact is immutable).
+        batch_buckets: ascending source-batch sizes to compile for the
+            coalesced path; a request group rounds up to the first bucket
+            >= its size (padded rows are zeros and discarded).
     """
 
-    def __init__(self, config, buckets=(8, 32, 64), state=None, artifact=None):
+    def __init__(
+        self,
+        config,
+        buckets=(8, 32, 64),
+        state=None,
+        artifact=None,
+        batch_buckets=(1, 2, 4),
+    ):
         import jax
 
         from one_to_many_gan_tpu.core.state import Models, init_train_state
@@ -105,11 +117,15 @@ class InferenceEngine:
         if not buckets or list(buckets) != sorted(set(buckets)):
             msg = f"buckets must be ascending and unique, got {buckets!r}"
             raise ValueError(msg)
+        if not batch_buckets or list(batch_buckets) != sorted(set(batch_buckets)):
+            msg = f"batch_buckets must be ascending and unique, got {batch_buckets!r}"
+            raise ValueError(msg)
         if state is not None and artifact is not None:
             msg = "state and artifact are mutually exclusive"
             raise ValueError(msg)
         self.config = config
         self.buckets = tuple(int(b) for b in buckets)
+        self.batch_buckets = tuple(int(b) for b in batch_buckets)
         models = Models(config)
         self._mgr = None
         # one request on the device at a time; HTTP layer may be threaded
@@ -128,8 +144,8 @@ class InferenceEngine:
         else:
             self.step = int(state.step)
             self._install(state)
-        _, one_to_many = make_inference_fns(config, models)
-        self._fn = jax.jit(one_to_many, static_argnums=4)
+        _, _, many_to_many = make_inference_fns(config, models)
+        self._fn = jax.jit(many_to_many, static_argnums=4)
         self._jax = jax
         self.image_size = tuple(config["data"]["image_size"])
         self.channels = config["data"]["image_channels"]
@@ -178,34 +194,186 @@ class InferenceEngine:
         msg = f"n={n} exceeds the largest compiled bucket {self.buckets[-1]}"
         raise ValueError(msg)
 
-    def warmup(self) -> float:
-        """Compile every bucket once (zeros input); returns seconds spent."""
+    def batch_bucket_for(self, b: int) -> int:
+        for bb in self.batch_buckets:
+            if b <= bb:
+                return bb
+        msg = f"batch {b} exceeds the largest batch bucket {self.batch_buckets[-1]}"
+        raise ValueError(msg)
+
+    def warmup(self, *, batched: bool = True) -> float:
+        """Compile the serving programs once (zeros input); returns seconds.
+
+        Warms every n bucket at batch bucket 1 (the solo-latency path) and,
+        when ``batched``, at the LARGEST batch bucket too (the coalesced
+        path — a full burst never compiles). Intermediate batch buckets
+        compile on first use.
+        """
         t0 = time.perf_counter()
         zero = np.zeros((*self.image_size, self.channels), np.uint8)
         for b in self.buckets:
             self.generate(zero, b, seed=0, theta=1.0)
+            if batched and self.batch_buckets[-1] > 1:
+                full = [zero] * self.batch_buckets[-1]
+                self.generate_batch(full, [b] * len(full), [0] * len(full),
+                                    [1.0] * len(full))
         return time.perf_counter() - t0
 
     def generate(
         self, image_u8: np.ndarray, n: int, seed: int = 0, theta: float = 1.0
     ) -> np.ndarray:
         """[H,W,C] uint8 source -> [n,H,W,C] uint8 shoemarks (one XLA call)."""
+        return self.generate_batch([image_u8], [n], [seed], [theta])[0]
+
+    def generate_batch(
+        self, images_u8, ns, seeds, thetas
+    ) -> list[np.ndarray]:
+        """B sources -> B outputs, ONE device call (the coalesced path).
+
+        ``images_u8`` is a list of [H,W,C] uint8 arrays; ``ns``/``seeds``/
+        ``thetas`` are per-request. The group runs at the max n bucket of
+        the group and the batch rounds up to a compiled batch bucket
+        (padded rows are zeros and discarded). Request i's output depends
+        only on its own (image, seed, theta) and the n bucket.
+        """
         from one_to_many_gan_tpu.data.pipeline import normalize_u8
 
-        bucket = self.bucket_for(n)
-        img = normalize_u8(image_u8[None])[0]
+        b = len(images_u8)
+        n_bucket = max(self.bucket_for(n) for n in ns)
+        bb = self.batch_bucket_for(b)
+        src = np.zeros((bb, *self.image_size, self.channels), np.uint8)
+        for i, im in enumerate(images_u8):
+            src[i] = im
+        seed_arr = np.zeros((bb,), np.uint32)
+        seed_arr[:b] = np.asarray(seeds, np.uint32)
+        theta_arr = np.zeros((bb,), np.float32)
+        theta_arr[:b] = np.asarray(thetas, np.float32)
+        imgs = normalize_u8(src)
+        jax = self._jax
         with self._lock:
+            keys = jax.vmap(jax.random.key)(seed_arr)
             outs = np.asarray(
                 self._fn(
                     self._params_g,
                     self._params_m,
-                    img,
-                    self._jax.random.key(seed),
-                    bucket,
-                    theta,
+                    imgs,
+                    keys,
+                    n_bucket,
+                    theta_arr,
                 )
             )
-        return np.clip((outs[:n] + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        outs = np.clip((outs + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        return [outs[i, : ns[i]] for i in range(b)]
+
+
+class _Batcher:
+    """Coalesce concurrent ``generate`` calls into one device call.
+
+    Dynamic request batching: request threads enqueue and block; a single
+    dispatcher thread drains the queue, waits ``window_ms`` for a burst to
+    land (skipped when a full batch is already waiting), groups requests
+    that share an n bucket (so coalescing never changes a request's style
+    draws), and runs the group as ONE ``generate_batch`` call. On a single
+    chip this turns K concurrent requests into one K-batched XLA program —
+    K times fewer host<->device round trips and a K-wide MXU batch —
+    instead of K serialized solo calls.
+
+    ``max_batch=1`` disables coalescing structurally (every group is one
+    request); the dispatcher thread still serializes device access.
+    """
+
+    def __init__(self, engine: InferenceEngine, max_batch: int = 4,
+                 window_ms: float = 3.0):
+        self.engine = engine
+        self.max_batch = max(1, min(int(max_batch), engine.batch_buckets[-1]))
+        self.window_s = max(0.0, float(window_ms)) / 1e3
+        self._cv = threading.Condition()
+        self._queue: list[tuple] = []  # (n_bucket, src, n, seed, theta, box)
+        self._shutdown = False
+        # observability (exposed via /stats)
+        self.batches = 0
+        self.coalesced = 0
+        self._thread = threading.Thread(
+            target=self._loop, name="otm-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, src: np.ndarray, n: int, seed: int, theta: float):
+        """Enqueue one request and block until its result (or raise)."""
+        bucket = self.engine.bucket_for(n)  # invalid n fails fast, unqueued
+        box: dict = {"event": threading.Event()}
+        with self._cv:
+            if self._shutdown:
+                msg = "server is shutting down"
+                raise RuntimeError(msg)
+            self._queue.append((bucket, src, n, seed, theta, box))
+            self._cv.notify_all()
+        box["event"].wait()
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def _take_group(self) -> list[tuple]:
+        """Pop up to max_batch queued requests sharing the head's n bucket
+        (same-bucket grouping keeps coalesced == solo outputs)."""
+        head_bucket = self._queue[0][0]
+        group, rest = [], []
+        for item in self._queue:
+            if item[0] == head_bucket and len(group) < self.max_batch:
+                group.append(item)
+            else:
+                rest.append(item)
+        self._queue = rest
+        return group
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._shutdown:
+                    self._cv.wait()
+                if self._shutdown:
+                    for *_, box in self._queue:
+                        box["error"] = RuntimeError("server is shutting down")
+                        box["event"].set()
+                    self._queue = []
+                    return
+                # Let a burst land: each enqueue notifies, so wait() can
+                # return after only part of the burst arrived — keep
+                # waiting until the batch is full or the window expires.
+                deadline = time.monotonic() + self.window_s
+                while (
+                    len(self._queue) < self.max_batch
+                    and not self._shutdown
+                    and (remaining := deadline - time.monotonic()) > 0
+                ):
+                    self._cv.wait(remaining)
+                group = self._take_group()
+            try:
+                outs = self.engine.generate_batch(
+                    [g[1] for g in group],
+                    [g[2] for g in group],
+                    [g[3] for g in group],
+                    [g[4] for g in group],
+                )
+            except Exception as exc:  # noqa: BLE001 — fail the group, not the loop
+                for *_, box in group:
+                    box["error"] = exc
+                    box["event"].set()
+                continue
+            self.batches += 1
+            self.coalesced += len(group) - 1
+            for (*_, box), out in zip(group, outs):
+                box["result"] = out
+                box["event"].set()
+
+    def close(self) -> None:
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def snapshot(self) -> dict:
+        return {"device_calls": self.batches, "coalesced_requests": self.coalesced}
 
 
 class _Stats:
@@ -238,8 +406,13 @@ class _Stats:
             return out
 
 
-def make_handler(engine: InferenceEngine, stats: _Stats):
+def make_handler(engine: InferenceEngine, stats: _Stats, batcher: _Batcher | None = None):
     """Build the request-handler class bound to one engine instance."""
+
+    def run_generate(src, n, seed, theta):
+        if batcher is not None:
+            return batcher.submit(src, n, seed, theta)
+        return engine.generate(src, n, seed=seed, theta=theta)
 
     class Handler(BaseHTTPRequestHandler):
         # quiet the default per-request stderr lines
@@ -268,7 +441,10 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
                     },
                 )
             elif path == "/stats":
-                self._json(200, stats.snapshot())
+                snap = stats.snapshot()
+                if batcher is not None:
+                    snap["batching"] = batcher.snapshot()
+                self._json(200, snap)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -307,7 +483,7 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
                 src = _decode_image_bytes(
                     self.rfile.read(length), engine.image_size, engine.channels
                 )
-                outs = engine.generate(src, n, seed=seed, theta=theta)
+                outs = run_generate(src, n, seed, theta)
             except ValueError as exc:
                 stats.error()
                 self._json(400, {"error": str(exc)})
@@ -338,14 +514,26 @@ def make_handler(engine: InferenceEngine, stats: _Stats):
 
 
 def make_server(
-    engine: InferenceEngine, host="0.0.0.0", port=8000
+    engine: InferenceEngine,
+    host="0.0.0.0",
+    port=8000,
+    max_batch: int = 4,
+    window_ms: float = 3.0,
 ) -> ThreadingHTTPServer:
-    """Threaded HTTP server. Device work still serializes on the engine
-    lock (one chip), but threading lets cheap requests (/healthz, /stats)
-    and the host-side encode/decode of concurrent clients overlap the
-    device call instead of queueing behind it; ``_Stats`` takes its own
-    lock for every mutation, so the counters survive the races."""
-    return ThreadingHTTPServer((host, port), make_handler(engine, _Stats()))
+    """Threaded HTTP server with dynamic request batching.
+
+    Threading lets cheap requests (/healthz, /stats) and the host-side
+    encode/decode of concurrent clients overlap device work; concurrent
+    /generate requests coalesce through the ``_Batcher`` into batched
+    device calls (``max_batch=0``/``1`` disables batching and calls the
+    engine directly). ``_Stats`` takes its own lock for every mutation,
+    so the counters survive the races. The batcher is exposed as
+    ``server.batcher`` (close it when tearing the server down in tests).
+    """
+    batcher = _Batcher(engine, max_batch, window_ms) if max_batch > 1 else None
+    server = ThreadingHTTPServer((host, port), make_handler(engine, _Stats(), batcher))
+    server.batcher = batcher
+    return server
 
 
 def main() -> None:
@@ -359,6 +547,20 @@ def main() -> None:
         default=None,
         help="serve from an export.py inference artifact instead of the "
         "latest Orbax checkpoint (immutable: /reload disabled)",
+    )
+    ap.add_argument(
+        "--max-batch",
+        type=int,
+        default=4,
+        help="coalesce up to this many concurrent /generate requests into "
+        "one device call (1 disables dynamic batching)",
+    )
+    ap.add_argument(
+        "--batch-window-ms",
+        type=float,
+        default=3.0,
+        help="how long the dispatcher waits for a burst to land before "
+        "running a partial batch",
     )
     args = ap.parse_args()
 
@@ -378,9 +580,15 @@ def main() -> None:
         f"restored step {engine.step} ({'EMA' if engine.ema else 'raw'} generator); "
         f"warming {len(engine.buckets)} buckets..."
     )
-    warm_s = engine.warmup()
+    warm_s = engine.warmup(batched=args.max_batch > 1)
     print(f"warm in {warm_s:.1f}s; serving on {args.host}:{args.port}")
-    make_server(engine, args.host, args.port).serve_forever()
+    make_server(
+        engine,
+        args.host,
+        args.port,
+        max_batch=args.max_batch,
+        window_ms=args.batch_window_ms,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ def main():
                          tpu={"precision": "bfloat16"})
     models = Models(config)
     state = init_train_state(config, models, jax.random.key(0))
-    _, one_to_many = make_inference_fns(config, models)
+    _, one_to_many, _ = make_inference_fns(config, models)
     fn = jax.jit(one_to_many, static_argnums=4)
     params_g = eval_params_g(state)  # EMA weights when enabled
 

@@ -311,3 +311,102 @@ def test_concurrent_clients_mixed_formats(server):
         after = json.loads(resp.read())
     assert after["requests"] >= before["requests"] + 9
     assert after["errors"] == before["errors"]  # no error undercount/overcount
+
+
+def test_generate_batch_matches_solo_requests(server):
+    """The coalesced path: generate_batch runs B requests as ONE device
+    call (padded to a batch bucket) and each request's output equals the
+    solo path at the same n bucket — coalescing never changes what a
+    client receives (modulo batched-execution float reassociation, which
+    the uint8 quantization absorbs for these weights)."""
+    engine, *_ = server
+    rng = np.random.default_rng(5)
+    srcs = [
+        rng.integers(0, 256, (SIZE, SIZE, 1), dtype=np.uint8) for _ in range(3)
+    ]
+    ns, seeds, thetas = [4, 2, 3], [1, 2, 3], [1.0, 0.5, 1.0]
+    outs = engine.generate_batch(srcs, ns, seeds, thetas)  # pads 3 -> bucket 4
+    assert [o.shape[0] for o in outs] == ns
+    for src, n, seed, theta, got in zip(srcs, ns, seeds, thetas, outs):
+        solo = engine.generate(src, n, seed=seed, theta=theta)
+        np.testing.assert_array_equal(got, solo)
+
+
+def test_batcher_coalesces_synchronized_burst(server):
+    """A synchronized 4-request burst becomes ONE device call; a request
+    with a different n bucket is grouped separately."""
+    from one_to_many_gan_tpu.serve import _Batcher
+
+    engine, *_ = server
+    batcher = _Batcher(engine, max_batch=4, window_ms=100.0)
+    try:
+        src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+        barrier = threading.Barrier(4)
+        results: dict[int, np.ndarray] = {}
+        errors: list[Exception] = []
+
+        def client(i: int):
+            try:
+                barrier.wait(timeout=30)
+                results[i] = batcher.submit(src, 4, i, 1.0)
+            except Exception as exc:  # pragma: no cover - failure detail
+                errors.append(exc)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert batcher.batches == 1 and batcher.coalesced == 3
+        for i in range(4):
+            np.testing.assert_array_equal(
+                results[i], engine.generate(src, 4, seed=i)
+            )
+
+        # different n buckets never merge: n=4 (bucket 4) + n=5 (bucket 8)
+        before = batcher.batches
+        got: dict[str, np.ndarray] = {}
+
+        def a():
+            got["a"] = batcher.submit(src, 4, 0, 1.0)
+
+        def b():
+            got["b"] = batcher.submit(src, 5, 0, 1.0)
+
+        ta, tb = threading.Thread(target=a), threading.Thread(target=b)
+        ta.start(), tb.start()
+        ta.join(timeout=120), tb.join(timeout=120)
+        assert batcher.batches == before + 2
+        assert got["a"].shape[0] == 4 and got["b"].shape[0] == 5
+    finally:
+        batcher.close()
+
+
+def test_batcher_propagates_errors_and_rejects_invalid_n(server):
+    from one_to_many_gan_tpu.serve import _Batcher
+
+    engine, *_ = server
+    batcher = _Batcher(engine, max_batch=2, window_ms=0.0)
+    try:
+        src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+        with pytest.raises(ValueError, match="largest compiled bucket"):
+            batcher.submit(src, 9, 0, 1.0)  # fails fast, never queued
+        # a request that dies on-device fails ITS caller, not the loop
+        bad = np.zeros((SIZE + 1, SIZE, 1), np.uint8)  # shape mismatch
+        with pytest.raises(Exception):  # noqa: B017 — any engine error
+            batcher.submit(bad, 4, 0, 1.0)
+        out = batcher.submit(src, 4, 0, 1.0)  # loop still alive
+        assert out.shape[0] == 4
+    finally:
+        batcher.close()
+
+
+def test_stats_expose_batching_counters(server):
+    _, base, *_ = server
+    _post(base, "n=4&seed=0&format=npy", _source_png())
+    with urllib.request.urlopen(f"{base}/stats", timeout=30) as resp:
+        stats = json.loads(resp.read())
+    assert "batching" in stats
+    assert stats["batching"]["device_calls"] >= 1
+    assert stats["batching"]["coalesced_requests"] >= 0

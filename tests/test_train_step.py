@@ -96,7 +96,7 @@ def test_param_counts_nontrivial(setup):
 
 def test_inference_translate_and_one_to_many(setup):
     config, models, state, _ = setup
-    translate, one_to_many = make_inference_fns(config, models)
+    translate, one_to_many, _ = make_inference_fns(config, models)
     h, w = config["data"]["image_size"]
     img = jax.random.normal(jax.random.key(7), (2, h, w, 1))
     out = translate(state.params_g, state.params_m, img, jax.random.key(0))
@@ -113,11 +113,40 @@ def test_inference_translate_and_one_to_many(setup):
     assert max(diffs) > 1e-5
 
 
+def test_many_to_many_matches_one_to_many_per_request(setup):
+    """The cross-request serving batch: request i of many_to_many depends
+    only on (images[i], keys[i], thetas[i], n) and equals the solo
+    one_to_many path up to batched-execution float reassociation."""
+    config, models, state, _ = setup
+    _, one_to_many, many_to_many = make_inference_fns(config, models)
+    h, w = config["data"]["image_size"]
+    imgs = jax.random.normal(jax.random.key(5), (3, h, w, 1))
+    seeds = np.asarray([3, 7, 11], np.uint32)
+    thetas = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+    keys = jax.vmap(jax.random.key)(seeds)
+    batched = jax.jit(many_to_many, static_argnums=4)(
+        state.params_g, state.params_m, imgs, keys, 4, thetas
+    )
+    assert batched.shape == (3, 4, h, w, 1)
+    for i in range(3):
+        solo = one_to_many(
+            state.params_g,
+            state.params_m,
+            imgs[i],
+            jax.random.key(int(seeds[i])),
+            4,
+            float(thetas[i]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(solo), atol=1e-5
+        )
+
+
 def test_reconstruction_theta0_path(setup):
     """θ=0 decode must be style-free: zero w's give identical outputs for
     any style RNG (the reconstruction contract, builder.py:87-90)."""
     config, models, state, _ = setup
-    translate, _ = make_inference_fns(config, models)
+    translate, _, _ = make_inference_fns(config, models)
     h, w = config["data"]["image_size"]
     img = jax.random.normal(jax.random.key(3), (2, h, w, 1))
     r1 = translate(state.params_g, state.params_m, img, jax.random.key(10), domain=0.0)
