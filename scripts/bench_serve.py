@@ -7,6 +7,12 @@ production architecture (the same model shape as scripts/bench_latency.py,
 whose numbers isolate the bare XLA call). Prints one JSON line per
 (n, format) point.
 
+Also measures the dynamic-batching win: 4 concurrent clients against a
+batching server (max_batch=4: the burst coalesces into ONE device call)
+vs a serializing server (max_batch=1: four back-to-back device calls),
+same engine and compiled programs — the req/s ratio is the coalescing
+speedup a concurrent deployment sees.
+
 Usage: python scripts/bench_serve.py [size]  (TPU; buckets warm before
 timing; default 256, 512 measures the flagship resolution)
 """
@@ -78,6 +84,66 @@ def main():
             )
         )
     httpd.shutdown()
+    if httpd.batcher is not None:
+        httpd.batcher.close()
+
+    # ---- dynamic-batching win: 4 concurrent clients, batched vs serial ----
+    conc, rounds = 4, 6
+    zero = np.zeros((size, size, 1), np.uint8)
+    for bb in engine.batch_buckets:  # partial bursts must not compile mid-timing
+        engine.generate_batch([zero] * bb, [8] * bb, [0] * bb, [1.0] * bb)
+    results = {}
+    for label, max_batch in (("batched", conc), ("serial", 1)):
+        httpd = make_server(
+            engine, host="127.0.0.1", port=0, max_batch=max_batch
+        )
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        url = f"{base}/generate?n=8&format=npy"
+
+        barrier = threading.Barrier(conc + 1)
+
+        def client(cid, url=url, barrier=barrier):
+            barrier.wait(timeout=120)
+            for i in range(rounds):
+                urllib.request.urlopen(
+                    urllib.request.Request(f"{url}&seed={cid * 100 + i}",
+                                           data=src),
+                    timeout=300,
+                ).read()
+
+        threads = [
+            threading.Thread(target=client, args=(c,)) for c in range(conc)
+        ]
+        for t in threads:
+            t.start()
+        barrier.wait(timeout=120)  # release the burst, then time to drain
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        results[label] = conc * rounds / wall
+        print(
+            json.dumps(
+                {
+                    "metric": f"serve_concurrent{conc}_{label}_{size}x{size}",
+                    "value": round(results[label], 2),
+                    "unit": "req/s",
+                }
+            )
+        )
+        httpd.shutdown()
+        if httpd.batcher is not None:
+            httpd.batcher.close()
+    print(
+        json.dumps(
+            {
+                "metric": f"serve_batching_speedup_{size}x{size}",
+                "value": round(results["batched"] / results["serial"], 3),
+                "unit": "x",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
