@@ -445,17 +445,35 @@ def make_multi_step(config: Config, models: Models, steps_per_call: int, mesh=No
     return multi_step
 
 
-def make_inference_fns(config: Config, models: Models):
+def make_inference_fns(config: Config, models: Models, mesh=None):
     """Pure inference entry points (translation + 1->N sweep).
 
     The 1->N sweep batches one encoded source against N styles in a single
     XLA call — the reference hints at this with its ``.expand(8, ...)``
     decode (evaluation.py:171-177).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving — the
+    flattened style-batch axis of the decode (where the FLOPs are) is
+    sharded over the mesh's data axis, so 1->N throughput scales with
+    chips. Requires the style count divisible by the data-axis size;
+    params should be replicated on the mesh (serve.py does both).
     """
     gen, mapping = models.generator, models.mapping
     n_blocks = models.n_style_blocks
     w_dim = models.w_dim
     mixing_prob = config["training"]["style_mixing_prob"]
+
+    def shard_styles(x):
+        """Constrain a style-major tensor's leading axis over the mesh."""
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from one_to_many_gan_tpu.parallel.mesh import DATA_AXIS
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        )
 
     def translate(params_g, params_m, images, rng, *, domain=1.0, mix=False):
         batch = images.shape[0]
@@ -473,11 +491,13 @@ def make_inference_fns(config: Config, models: Models):
         shoemark domain; intermediate values interpolate.
         """
         latent = gen.apply(params_g, image[None], method="encode")
-        latent_n = jnp.broadcast_to(latent, (n_styles, *latent.shape[1:]))
+        latent_n = shard_styles(
+            jnp.broadcast_to(latent, (n_styles, *latent.shape[1:]))
+        )
         rngs = sample_style_rngs(rng, n_styles, w_dim, n_blocks, mixing_prob)
         s = mapping.apply(params_m, rngs, n_blocks, mix_styles=False,
                           method="style_vector")
-        w = apply_domain(s, theta)
+        w = shard_styles(apply_domain(s, theta))
         return gen.apply(params_g, latent_n, w, method="decode")
 
     def many_to_many(params_g, params_m, images, keys, n_styles: int, thetas):
@@ -494,7 +514,7 @@ def make_inference_fns(config: Config, models: Models):
         """
         b = images.shape[0]
         latents = gen.apply(params_g, images, method="encode")
-        latent_bn = jnp.repeat(latents, n_styles, axis=0)  # [B*n, ...]
+        latent_bn = shard_styles(jnp.repeat(latents, n_styles, axis=0))  # [B*n, ...]
         rngs = jax.vmap(
             lambda k: sample_style_rngs(k, n_styles, w_dim, n_blocks,
                                         mixing_prob)
@@ -505,7 +525,7 @@ def make_inference_fns(config: Config, models: Models):
         s = mapping.apply(params_m, flat, n_blocks, mix_styles=False,
                           method="style_vector")
         theta_bn = jnp.repeat(jnp.asarray(thetas, s.dtype), n_styles)
-        w = apply_domain(s, theta_bn)
+        w = shard_styles(apply_domain(s, theta_bn))
         out = gen.apply(params_g, latent_bn, w, method="decode")
         return out.reshape(b, n_styles, *out.shape[1:])
 

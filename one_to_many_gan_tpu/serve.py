@@ -99,6 +99,12 @@ class InferenceEngine:
         batch_buckets: ascending source-batch sizes to compile for the
             coalesced path; a request group rounds up to the first bucket
             >= its size (padded rows are zeros and discarded).
+        data_parallel: shard the decode's style-batch axis over this many
+            local devices (-1 = all). Params replicate on the mesh; XLA
+            splits each request's style sweep across chips, so 1->N
+            latency drops ~linearly with chips. Every n bucket must be
+            divisible by the mesh size (keeps every compiled program
+            evenly sharded).
     """
 
     def __init__(
@@ -108,6 +114,7 @@ class InferenceEngine:
         state=None,
         artifact=None,
         batch_buckets=(1, 2, 4),
+        data_parallel=1,
     ):
         import jax
 
@@ -126,6 +133,22 @@ class InferenceEngine:
         self.config = config
         self.buckets = tuple(int(b) for b in buckets)
         self.batch_buckets = tuple(int(b) for b in batch_buckets)
+        if data_parallel == -1:
+            data_parallel = len(jax.devices())
+        self.data_parallel = int(data_parallel)
+        if self.data_parallel > 1:
+            from one_to_many_gan_tpu.parallel.mesh import make_mesh
+
+            bad = [b for b in self.buckets if b % self.data_parallel]
+            if bad:
+                msg = (
+                    f"data_parallel={self.data_parallel} must divide every "
+                    f"n bucket; offending buckets: {bad}"
+                )
+                raise ValueError(msg)
+            self.mesh = make_mesh(self.data_parallel, 1)
+        else:
+            self.mesh = None
         models = Models(config)
         self._mgr = None
         # one request on the device at a time; HTTP layer may be threaded
@@ -133,9 +156,11 @@ class InferenceEngine:
         if artifact is not None:
             from one_to_many_gan_tpu.export import load_inference_artifact
 
-            self._params_g, self._params_m, self.step, self.ema = (
+            params_g, params_m, self.step, self.ema = (
                 load_inference_artifact(artifact)
             )
+            self._params_g = self._place(params_g)
+            self._params_m = self._place(params_m)
             self._template = None
         elif state is None:
             state = init_train_state(config, models, jax.random.key(0))
@@ -144,19 +169,27 @@ class InferenceEngine:
         else:
             self.step = int(state.step)
             self._install(state)
-        _, _, many_to_many = make_inference_fns(config, models)
+        _, _, many_to_many = make_inference_fns(config, models, mesh=self.mesh)
         self._fn = jax.jit(many_to_many, static_argnums=4)
         self._jax = jax
         self.image_size = tuple(config["data"]["image_size"])
         self.channels = config["data"]["image_channels"]
+
+    def _place(self, params):
+        """Replicate params on the serving mesh (no-op single-chip)."""
+        if self.mesh is None:
+            return params
+        from one_to_many_gan_tpu.parallel.mesh import replicate
+
+        return replicate(self.mesh, params)
 
     def _install(self, state) -> None:
         from one_to_many_gan_tpu.core.state import eval_params_g
 
         self._template = state  # abstract shapes for future restores
         self.ema = state.ema_params_g is not None
-        self._params_g = eval_params_g(state)
-        self._params_m = state.params_m
+        self._params_g = self._place(eval_params_g(state))
+        self._params_m = self._place(state.params_m)
 
     def _restore_latest(self, template):
         from one_to_many_gan_tpu.core.trainer import (
@@ -438,6 +471,7 @@ def make_handler(engine: InferenceEngine, stats: _Stats, batcher: _Batcher | Non
                         "ema": engine.ema,
                         "buckets": list(engine.buckets),
                         "image_size": list(engine.image_size),
+                        "data_parallel": engine.data_parallel,
                     },
                 )
             elif path == "/stats":
@@ -562,6 +596,13 @@ def main() -> None:
         help="how long the dispatcher waits for a burst to land before "
         "running a partial batch",
     )
+    ap.add_argument(
+        "--data-parallel",
+        type=int,
+        default=1,
+        help="shard each request's style sweep over this many local "
+        "devices (-1 = all); every n bucket must be divisible by it",
+    )
     args = ap.parse_args()
 
     import jax
@@ -575,6 +616,7 @@ def main() -> None:
         config,
         buckets=[int(b) for b in args.buckets.split(",")],
         artifact=args.artifact,
+        data_parallel=args.data_parallel,
     )
     print(
         f"restored step {engine.step} ({'EMA' if engine.ema else 'raw'} generator); "
