@@ -400,8 +400,10 @@ def _tent_contract(
     # in-frame content lies within max_width of the frame, and its support
     # reaches another max_width beyond -> extend by 2 * max_width.
     r = 2 * int(_AA_MAX_WIDTH) if antialias else 0
-    xs_idx = jnp.arange(-r, w + r, dtype=jnp.float32)
-    ys_idx = jnp.arange(-r, h + r, dtype=jnp.float32)
+    # taps span the SOURCE dims (H', W') — they index into ``images``;
+    # the positions grid (h, w) only shapes the output
+    xs_idx = jnp.arange(-r, ws + r, dtype=jnp.float32)
+    ys_idx = jnp.arange(-r, hs + r, dtype=jnp.float32)
 
     # Contraction dtype follows the images (bf16 under the mixed-precision
     # policy: halves the [chunk,W,H'] HBM intermediate). Tent weights are
@@ -426,8 +428,8 @@ def _tent_contract(
             wx = kernel(sx_c, xs_idx, wx_w)
             wy = kernel(sy_c, ys_idx, wy_w)
             if r:
-                wx = wx[..., r : r + w]  # drop out-of-frame taps: zero content
-                wy = wy[..., r : r + h]
+                wx = wx[..., r : r + ws]  # drop out-of-frame taps: zero content
+                wy = wy[..., r : r + hs]
             # inner contraction over x': [chunk, W, H', C]  (one big-M MXU
             # matmul per chunk)
             g = jnp.einsum(
@@ -496,33 +498,31 @@ def _ss_updown_ops(n: int):
     idx_n = np.arange(n)
     idx_2n = np.arange(2 * n)
 
-    def up_op(c):
-        u = np.zeros((2 * n, n))
-        for j in range(2 * n):
-            for i in range(n):
-                k = j - 2 * i + c
-                if 0 <= k < length:
-                    u[j, i] = 2 * f[k]
-        return u
+    def up_op(c, m):
+        # u[j, i] = 2 f[j - 2i + c], vectorized (a Python double loop here
+        # cost minutes of trace time at 512²)
+        k = idx_2n[: 2 * m, None] - 2 * idx_n[None, :m] + c
+        valid = (k >= 0) & (k < length)
+        return np.where(valid, 2 * f[np.clip(k, 0, length - 1)], 0.0)
 
-    def down_op(c):
-        d = np.zeros((n, 2 * n))
-        for i in range(n):
-            for j in range(2 * n):
-                k = j - 2 * i + c
-                if 0 <= k < length:
-                    d[i, j] = f[k]
-        return d
+    def down_op(c, m):
+        k = idx_2n[None, : 2 * m] - 2 * idx_n[:m, None] + c
+        valid = (k >= 0) & (k < length)
+        return np.where(valid, f[np.clip(k, 0, length - 1)], 0.0)
 
+    # Phase calibration is shift-invariant in the interior, so run it at a
+    # small probe size (identical to n when n <= 64 — every tested size);
+    # only the chosen (c_up, c_dn) carries over to the full-size build.
+    m = min(n, 64)
     best = None
     for c_up in range(length):
-        u = up_op(c_up)
+        u_m = up_op(c_up, m)
         for c_dn in range(length):
-            d = down_op(c_dn)
-            err = np.abs(d @ u - np.eye(n))[4:-4, 4:-4].sum()
+            err = np.abs(down_op(c_dn, m) @ u_m - np.eye(m))[4:-4, 4:-4].sum()
             if best is None or err < best[0]:
-                best = (err, u, d)
-    _, u, d = best
+                best = (err, c_up, c_dn)
+    _, c_up, c_dn = best
+    u, d = up_op(c_up, n), down_op(c_dn, n)
     j_mid = n
     a_up = j_mid - 2 * (u[j_mid] @ idx_n / u[j_mid].sum())
     i_mid = n // 2

@@ -153,6 +153,10 @@ class InferenceEngine:
         self._mgr = None
         # one request on the device at a time; HTTP layer may be threaded
         self._lock = threading.Lock()
+        # serializes /reload end to end: lazy CheckpointManager creation and
+        # the Orbax restore itself are not thread-safe (the threaded HTTP
+        # server allows concurrent POST /reload)
+        self._reload_lock = threading.Lock()
         if artifact is not None:
             from one_to_many_gan_tpu.export import load_inference_artifact
 
@@ -213,12 +217,13 @@ class InferenceEngine:
         if self._template is None:
             msg = "reload unavailable: engine is backed by an immutable artifact"
             raise ValueError(msg)
-        state, step = self._restore_latest(self._template)
-        if step and step != self.step:
-            with self._lock:
-                self._install(state)
-                self.step = step
-        return self.step
+        with self._reload_lock:
+            state, step = self._restore_latest(self._template)
+            if step and step != self.step:
+                with self._lock:
+                    self._install(state)
+                    self.step = step
+            return self.step
 
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -234,22 +239,28 @@ class InferenceEngine:
         msg = f"batch {b} exceeds the largest batch bucket {self.batch_buckets[-1]}"
         raise ValueError(msg)
 
-    def warmup(self, *, batched: bool = True) -> float:
+    def warmup(self, *, batched: bool = True, max_batch: int | None = None) -> float:
         """Compile the serving programs once (zeros input); returns seconds.
 
         Warms every n bucket at batch bucket 1 (the solo-latency path) and,
-        when ``batched``, at the LARGEST batch bucket too (the coalesced
-        path — a full burst never compiles). Intermediate batch buckets
-        compile on first use.
+        when ``batched``, at EVERY batch bucket up to ``max_batch`` (no
+        cap when None) — a partial burst (e.g. exactly 2 coalesced
+        requests -> batch bucket 2) must never trigger a mid-request
+        compile, which through the axon tunnel stalls the dispatcher for
+        minutes.
         """
         t0 = time.perf_counter()
         zero = np.zeros((*self.image_size, self.channels), np.uint8)
+        cap = float("inf") if max_batch is None else max(1, int(max_batch))
         for b in self.buckets:
             self.generate(zero, b, seed=0, theta=1.0)
-            if batched and self.batch_buckets[-1] > 1:
-                full = [zero] * self.batch_buckets[-1]
-                self.generate_batch(full, [b] * len(full), [0] * len(full),
-                                    [1.0] * len(full))
+            if not batched:
+                continue
+            for bb in self.batch_buckets:
+                if bb == 1 or bb > cap:
+                    continue
+                full = [zero] * bb
+                self.generate_batch(full, [b] * bb, [0] * bb, [1.0] * bb)
         return time.perf_counter() - t0
 
     def generate(
@@ -278,7 +289,10 @@ class InferenceEngine:
         for i, im in enumerate(images_u8):
             src[i] = im
         seed_arr = np.zeros((bb,), np.uint32)
-        seed_arr[:b] = np.asarray(seeds, np.uint32)
+        # two's-complement wrap: negative / >=2^32 seeds keep working (NumPy 2
+        # raises OverflowError on out-of-range ints, and a bad seed must never
+        # fail the other requests coalesced into this group)
+        seed_arr[:b] = [int(s) & 0xFFFFFFFF for s in seeds]
         theta_arr = np.zeros((bb,), np.float32)
         theta_arr[:b] = np.asarray(thetas, np.float32)
         imgs = normalize_u8(src)
@@ -318,6 +332,15 @@ class _Batcher:
     def __init__(self, engine: InferenceEngine, max_batch: int = 4,
                  window_ms: float = 3.0):
         self.engine = engine
+        if int(max_batch) > engine.batch_buckets[-1]:
+            import warnings
+
+            warnings.warn(
+                f"max_batch={max_batch} exceeds the largest compiled batch "
+                f"bucket {engine.batch_buckets[-1]}; coalescing is capped "
+                f"there (grow InferenceEngine(batch_buckets=...) to raise it)",
+                stacklevel=2,
+            )
         self.max_batch = max(1, min(int(max_batch), engine.batch_buckets[-1]))
         self.window_s = max(0.0, float(window_ms)) / 1e3
         self._cv = threading.Condition()
@@ -622,7 +645,8 @@ def main() -> None:
         f"restored step {engine.step} ({'EMA' if engine.ema else 'raw'} generator); "
         f"warming {len(engine.buckets)} buckets..."
     )
-    warm_s = engine.warmup(batched=args.max_batch > 1)
+    warm_s = engine.warmup(batched=args.max_batch > 1,
+                           max_batch=args.max_batch)
     print(f"warm in {warm_s:.1f}s; serving on {args.host}:{args.port}")
     make_server(
         engine,

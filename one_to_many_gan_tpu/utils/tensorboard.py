@@ -32,6 +32,11 @@ def _scalars(record: dict) -> dict[str, float]:
     return out
 
 
+# validation-checkpoint series (core/evaluation.py::val_checkpoint) get the
+# val/ namespace so TensorBoard's standard train/val dashboard split works
+_VAL_KEYS = frozenset({"fid", "kid"})
+
+
 class TensorBoardWriter:
     """Thin scalar writer bound to one run's event directory."""
 
@@ -42,7 +47,8 @@ class TensorBoardWriter:
 
     def write(self, step: int, scalars: dict) -> None:
         for k, v in _scalars({**scalars, "step": step}).items():
-            self._writer.add_scalar(f"train/{k}", v, step)
+            prefix = "val" if k in _VAL_KEYS else "train"
+            self._writer.add_scalar(f"{prefix}/{k}", v, step)
         self._writer.flush()
 
     def close(self) -> None:

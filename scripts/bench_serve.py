@@ -48,7 +48,10 @@ def main():
     state = init_train_state(config, models, jax.random.key(0))
     engine = InferenceEngine(config, buckets=(8, 64), state=state)
     warm_s = engine.warmup()
-    print(f"# warmup (2 bucket compiles): {warm_s:.1f}s", file=sys.stderr)
+    print(
+        f"# warmup (all n x batch bucket compiles): {warm_s:.1f}s",
+        file=sys.stderr,
+    )
 
     httpd = make_server(engine, host="127.0.0.1", port=0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()

@@ -410,3 +410,45 @@ def test_stats_expose_batching_counters(server):
     assert "batching" in stats
     assert stats["batching"]["device_calls"] >= 1
     assert stats["batching"]["coalesced_requests"] >= 0
+
+
+def test_out_of_range_seeds_wrap_not_500(server):
+    """NumPy 2 rejects out-of-range ints for uint32; seeds must wrap
+    (two's complement) instead of 500ing — and a bad seed must never fail
+    the other requests coalesced into its group."""
+    engine, base, *_ = server
+    src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+    neg = engine.generate(src, 4, seed=-1)
+    assert neg.shape == (4, SIZE, SIZE, 1)
+    # -1 wraps to 2^32 - 1: same key, same images
+    np.testing.assert_array_equal(neg, engine.generate(src, 4, seed=2**32 - 1))
+    # over HTTP too (the repro from the round-4 review)
+    body, _ = _post(base, "n=4&seed=-1&format=npy", _source_png())
+    assert np.load(io.BytesIO(body)).shape == (4, SIZE, SIZE, 1)
+    # coalesced group with one negative seed: every request succeeds
+    outs = engine.generate_batch([src, src], [4, 4], [-5, 3], [1.0, 1.0])
+    assert all(o.shape == (4, SIZE, SIZE, 1) for o in outs)
+
+
+def test_warmup_covers_partial_batch_buckets(server):
+    """A group of exactly 2 coalesced requests uses batch bucket 2, which
+    warmup must have compiled (a mid-request compile stalls the dispatcher
+    for minutes through the tunnel)."""
+    engine, *_ = server
+    engine.warmup(batched=True, max_batch=4)  # cached: asserts it RUNS all
+    src = np.asarray(Image.open(io.BytesIO(_source_png())))[..., None]
+    outs = engine.generate_batch([src, src], [4, 4], [0, 1], [1.0, 1.0])
+    assert len(outs) == 2
+    # capped warmup skips buckets above max_batch
+    secs = engine.warmup(batched=True, max_batch=1)
+    assert secs >= 0.0
+
+
+def test_batcher_warns_when_max_batch_exceeds_buckets(server):
+    from one_to_many_gan_tpu.serve import _Batcher
+
+    engine, *_ = server
+    with pytest.warns(UserWarning, match="largest compiled batch bucket"):
+        batcher = _Batcher(engine, max_batch=99, window_ms=0.0)
+    assert batcher.max_batch == engine.batch_buckets[-1]
+    batcher.close()

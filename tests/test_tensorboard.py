@@ -40,8 +40,8 @@ def test_export_jsonl_writes_event_files(tmp_path):
     acc = EventAccumulator(str(tmp_path / "tb"))
     acc.Reload()
     tags = set(acc.Tags()["scalars"])
-    assert {"train/disc_loss", "train/total_gen_loss", "train/fid"} <= tags
-    fid_events = acc.Scalars("train/fid")
+    assert {"train/disc_loss", "train/total_gen_loss", "val/fid", "val/kid"} <= tags
+    fid_events = acc.Scalars("val/fid")
     assert fid_events[0].step == 5 and abs(fid_events[0].value - 0.9) < 1e-6
 
 
