@@ -24,6 +24,7 @@ def generate(
     out_dir: str,
     seed: int = 0,
     theta: float = 1.0,
+    artifact: str | None = None,
 ) -> list[Path]:
     import jax
 
@@ -37,12 +38,22 @@ def generate(
 
     config = load_config(config_path)
     models = Models(config)
-    state = init_train_state(config, models, jax.random.key(seed))
-    mgr = _checkpoint_manager(config)
-    state, step = restore_checkpoint(mgr, state)
-    if step == 0:
-        print("warning: no checkpoint found; generating with fresh weights")
-    params_g = state.ema_params_g if state.ema_params_g is not None else state.params_g
+    if artifact is not None:
+        # same deployment artifact serve.py --artifact consumes (export.py)
+        from one_to_many_gan_tpu.export import load_inference_artifact
+
+        params_g, params_m, step, _ema = load_inference_artifact(artifact)
+        print(f"loaded inference artifact at step {step}")
+    else:
+        state = init_train_state(config, models, jax.random.key(seed))
+        mgr = _checkpoint_manager(config)
+        state, step = restore_checkpoint(mgr, state)
+        if step == 0:
+            print("warning: no checkpoint found; generating with fresh weights")
+        params_g = (
+            state.ema_params_g if state.ema_params_g is not None else state.params_g
+        )
+        params_m = state.params_m
 
     img_u8 = _load_image(
         Path(source),
@@ -54,7 +65,7 @@ def generate(
     _, one_to_many, _ = make_inference_fns(config, models)
     outs = np.asarray(
         jax.jit(one_to_many, static_argnums=4)(
-            params_g, state.params_m, img, jax.random.key(seed), n, theta
+            params_g, params_m, img, jax.random.key(seed), n, theta
         )
     )
 
@@ -77,8 +88,15 @@ def main() -> None:
     ap.add_argument("--out", default="generated")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--theta", type=float, default=1.0)
+    ap.add_argument(
+        "--artifact",
+        default=None,
+        help="generate from an export.py inference artifact (npz) instead "
+        "of the latest Orbax checkpoint",
+    )
     args = ap.parse_args()
-    generate(args.config, args.source, args.n, args.out, args.seed, args.theta)
+    generate(args.config, args.source, args.n, args.out, args.seed, args.theta,
+             artifact=args.artifact)
 
 
 if __name__ == "__main__":
