@@ -43,9 +43,14 @@ class TrainState:
 
 
 class Models:
-    """The four model definitions, built once from config."""
+    """The four model definitions, built once from config.
 
-    def __init__(self, config: Config):
+    ``int8_decode`` builds the generator with int8 decoder convs — an
+    inference-only variant with an IDENTICAL param tree (serve.py --int8,
+    generate.py --int8); ``make_train_step`` rejects it.
+    """
+
+    def __init__(self, config: Config, *, int8_decode: bool = False):
         arch = config["architecture"]
         data = config["data"]
         dtype = (
@@ -83,7 +88,9 @@ class Models:
             dtype=dtype,
             head_s2d=head_s2d,
             s2d_pack=s2d_pack,
+            int8_decode=int8_decode,
         )
+        self.int8_decode = int8_decode
         self.discriminator = Discriminator(dtype=dtype)
         self.mapping = MappingNetwork(
             features=arch["w_dim"], n_layers=arch["mapping_network_layers"]

@@ -65,6 +65,11 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
     all-gather-once path); every other op is written on global arrays
     and partitioned by XLA's SPMD pass.
     """
+    if getattr(models, "int8_decode", False):
+        # int8 convs round() their operands — no gradient flows through
+        # the decoder. The int8 model variant is serving/eval-only.
+        msg = "int8_decode models cannot train; build Models(config) instead"
+        raise ValueError(msg)
     opt_cfg = config["optimisation"]
     ada_cfg = config["ada"]
     train_cfg = config["training"]

@@ -281,6 +281,18 @@ class Trainer:
             self.state, self.start_step = restore_checkpoint(self.ckpt_mgr, self.state)
             if self.verbose and self.start_step:
                 print(f"Resumed from checkpoint at step {self.start_step}")
+            if self.start_step:
+                # Fast-forward the training data streams to the resume
+                # point: each trained step consumed 2 batches per domain
+                # (one D draw + one G draw, _next_batches_np), so the
+                # resumed run continues the exact per-host stream an
+                # uninterrupted run would have fed to step start_step+1.
+                # Eval-side streams (grids, FID) are not fast-forwarded:
+                # they never enter the gradient path. Cost: RNG draws +
+                # index arithmetic only (no image gathers) — O(ms) even
+                # at 150k steps.
+                self.shoeprint_iter.skip(2 * self.start_step)
+                self.shoemark_iter.skip(2 * self.start_step)
         else:
             self.start_step = 0
 

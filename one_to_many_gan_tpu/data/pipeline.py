@@ -85,10 +85,8 @@ class BatchIterator:
         )
         return order[self.host_id :: self.host_count]
 
-    def __iter__(self):
-        return self
-
-    def __next__(self) -> np.ndarray:
+    def _next_indices(self) -> np.ndarray:
+        """Pop the next batch's indices, refilling the epoch queue as needed."""
         if not self._queue:
             order = self._epoch_order()
             n_batches = len(order) // self.batch_size  # drop_last
@@ -96,7 +94,31 @@ class BatchIterator:
                 self._queue.append(
                     order[b * self.batch_size : (b + 1) * self.batch_size]
                 )
-        idx = self._queue.pop(0)
+        return self._queue.pop(0)
+
+    def skip(self, n: int) -> None:
+        """Advance the stream by ``n`` batches without materializing them.
+
+        Consumes exactly the RNG draws of ``n`` ``__next__`` calls (epoch
+        permutations + per-batch flip draws) while skipping the image
+        gather, so an iterator skipped by ``n`` is stream-identical to one
+        that produced ``n`` batches. The Trainer uses this to fast-forward
+        the training data streams to the resume point: a resumed run then
+        continues the exact stream an uninterrupted run would have seen,
+        instead of replaying the early epochs (the reference's
+        ``infinite_run.sh`` restarts the data stream from scratch on every
+        interruption).
+        """
+        for _ in range(n):
+            idx = self._next_indices()
+            if self.flip_prob > 0:
+                self._rng.random(len(idx))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        idx = self._next_indices()
         flips = (
             self._rng.random(len(idx)) < self.flip_prob
             if self.flip_prob > 0

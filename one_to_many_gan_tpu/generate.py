@@ -25,6 +25,7 @@ def generate(
     seed: int = 0,
     theta: float = 1.0,
     artifact: str | None = None,
+    int8: bool = False,
 ) -> list[Path]:
     import jax
 
@@ -37,7 +38,9 @@ def generate(
     from PIL import Image
 
     config = load_config(config_path)
-    models = Models(config)
+    # int8: decoder convs quantized at apply time (ops/quantize.py) —
+    # identical param tree, so the same checkpoint/artifact loads
+    models = Models(config, int8_decode=int8)
     if artifact is not None:
         # same deployment artifact serve.py --artifact consumes (export.py)
         from one_to_many_gan_tpu.export import load_inference_artifact
@@ -94,9 +97,14 @@ def main() -> None:
         help="generate from an export.py inference artifact (npz) instead "
         "of the latest Orbax checkpoint",
     )
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="int8 decoder convs on the MXU (2x bf16 peak on v5e)",
+    )
     args = ap.parse_args()
     generate(args.config, args.source, args.n, args.out, args.seed, args.theta,
-             artifact=args.artifact)
+             artifact=args.artifact, int8=args.int8)
 
 
 if __name__ == "__main__":

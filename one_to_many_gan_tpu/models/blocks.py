@@ -42,16 +42,18 @@ class ModulatedResnetBlock(nn.Module):
     dim: int
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    # inference-only int8 convs (ops/modulated.py); same param tree
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
         y = ModulatedConv(
             self.dim, 3, padding=1, pad_mode="reflect", use_bias=self.use_bias,
-            dtype=self.dtype,
+            dtype=self.dtype, int8=self.int8,
         )(x, w)
         y = jax.nn.relu(y)
         y = ModulatedConv(
             self.dim, 3, padding=1, pad_mode="reflect", use_bias=self.use_bias,
-            dtype=self.dtype,
+            dtype=self.dtype, int8=self.int8,
         )(y, w)
         return x + y

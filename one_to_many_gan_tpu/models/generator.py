@@ -67,6 +67,12 @@ class Generator(nn.Module):
     # space-to-depth packing of the low-channel large-spatial 3x3 convs
     # (ops/equalized.py conv3x3_s2d_packed; tpu.s2d_pack via Models)
     s2d_pack: bool = False
+    # Inference-only int8 decoder convs (ops/quantize.py): the modulated
+    # convs — where the decode's FLOPs concentrate (SURVEY §3.3) — run
+    # int8 x int8 on the MXU at 2x the bf16 peak. Same param tree as the
+    # f32 model, so trained checkpoints/artifacts load unchanged. The
+    # training path rejects this flag (core/train_step.py).
+    int8_decode: bool = False
 
     @property
     def n_style_blocks(self) -> int:
@@ -101,13 +107,15 @@ class Generator(nn.Module):
         self.enc_blocks = [ResnetBlock(f, dtype=self.dtype) for _ in range(n_enc)]
 
         self.dec_blocks = [
-            ModulatedResnetBlock(f, dtype=self.dtype) for _ in range(n_dec)
+            ModulatedResnetBlock(f, dtype=self.dtype, int8=self.int8_decode)
+            for _ in range(n_dec)
         ]
         dec_up = []
         for _ in range(n_down):
             dec_up.append(
                 ModulatedConv(
-                    f // 2, 3, padding=1, dtype=self.dtype, s2d_in=self.s2d_pack
+                    f // 2, 3, padding=1, dtype=self.dtype,
+                    s2d_in=self.s2d_pack, int8=self.int8_decode,
                 )
             )
             f //= 2

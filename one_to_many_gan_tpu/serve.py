@@ -105,6 +105,10 @@ class InferenceEngine:
             latency drops ~linearly with chips. Every n bucket must be
             divisible by the mesh size (keeps every compiled program
             evenly sharded).
+        int8: quantize the decoder's modulated convs to int8 (2x MXU peak
+            on v5e; ops/quantize.py). Same checkpoints/artifacts — the
+            quantization is apply-time. Output fidelity bound is tested
+            (tests/test_int8.py) and reported by /healthz.
     """
 
     def __init__(
@@ -115,6 +119,7 @@ class InferenceEngine:
         artifact=None,
         batch_buckets=(1, 2, 4),
         data_parallel=1,
+        int8=False,
     ):
         import jax
 
@@ -149,7 +154,8 @@ class InferenceEngine:
             self.mesh = make_mesh(self.data_parallel, 1)
         else:
             self.mesh = None
-        models = Models(config)
+        self.int8 = bool(int8)
+        models = Models(config, int8_decode=self.int8)
         self._mgr = None
         # one request on the device at a time; HTTP layer may be threaded
         self._lock = threading.Lock()
@@ -495,6 +501,7 @@ def make_handler(engine: InferenceEngine, stats: _Stats, batcher: _Batcher | Non
                         "buckets": list(engine.buckets),
                         "image_size": list(engine.image_size),
                         "data_parallel": engine.data_parallel,
+                        "int8": engine.int8,
                     },
                 )
             elif path == "/stats":
@@ -626,6 +633,12 @@ def main() -> None:
         help="shard each request's style sweep over this many local "
         "devices (-1 = all); every n bucket must be divisible by it",
     )
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="run the decoder's modulated convs int8 on the MXU (2x bf16 "
+        "peak on v5e); apply-time quantization, same checkpoints",
+    )
     args = ap.parse_args()
 
     import jax
@@ -640,6 +653,7 @@ def main() -> None:
         buckets=[int(b) for b in args.buckets.split(",")],
         artifact=args.artifact,
         data_parallel=args.data_parallel,
+        int8=args.int8,
     )
     print(
         f"restored step {engine.step} ({'EMA' if engine.ema else 'raw'} generator); "

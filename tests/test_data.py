@@ -98,3 +98,21 @@ def test_iterator_batch_too_large_raises():
     images = synthetic_images(3, (8, 8))
     with pytest.raises(ValueError, match="batch size"):
         BatchIterator(images, 4)
+
+
+def test_iterator_skip_matches_consumed_stream():
+    """skip(n) leaves the stream exactly where n next() calls would.
+
+    Crosses an epoch boundary (10 images / batch 3 -> 3 batches per
+    epoch) so both the refill permutation draw and the per-batch flip
+    draws are exercised.
+    """
+    images = synthetic_images(10, (8, 8), seed=5)
+    for n_skip in (0, 1, 4, 7):
+        ref = BatchIterator(images, 3, shuffle=True, flip_prob=0.5, seed=9)
+        for _ in range(n_skip):
+            next(ref)
+        skipped = BatchIterator(images, 3, shuffle=True, flip_prob=0.5, seed=9)
+        skipped.skip(n_skip)
+        for _ in range(3):  # stream stays aligned, not just the next batch
+            np.testing.assert_array_equal(next(ref), next(skipped))

@@ -83,6 +83,109 @@ def test_sharded_save_restore_step_equality(tmp_path):
         )
 
 
+def test_cross_topology_restore(tmp_path):
+    """Elastic resume across a TOPOLOGY CHANGE (pod resize / degraded
+    fleet): a checkpoint saved under the 4x2 mesh restores onto a 2x4
+    mesh AND onto a single device. The stored param tree is topology-
+    independent by design (the head conv's s2d formulation is apply-time
+    only, ops/equalized.py; sharding lives in the restore template, not
+    the checkpoint), so the restored values are identical and the next
+    step under the new topology matches the old one.
+
+    Reference behavior upgraded: /root/reference/infinite_run.sh restarts
+    from scratch on any interruption and has no concept of topology.
+    """
+    cfg_a = load_config(
+        write_tiny_config(
+            tmp_path, batch_size=8, tpu_section="\n[tpu]\nspatial_parallel = 2\n"
+        )
+    )
+    models_a = Models(cfg_a)
+    mesh_a = make_mesh(4, 2)
+    step_a = jax.jit(make_train_step(cfg_a, models_a, mesh_a))
+    state = replicate(mesh_a, init_train_state(cfg_a, models_a, jax.random.key(0)))
+    rng_np = np.random.default_rng(0)
+    h, w = cfg_a["data"]["image_size"]
+
+    def raw():
+        return (rng_np.random((8, h, w, 1)) * 2 - 1).astype(np.float32)
+
+    state, _ = step_a(
+        state,
+        Batches(*(shard_batch(mesh_a, raw()) for _ in range(4))),
+        jax.random.key(1),
+    )
+    mgr = _checkpoint_manager(cfg_a)
+    save_checkpoint(mgr, 1, state)
+
+    # second config: SAME run directory, different topology (sp=4)
+    cfg_b_path = tmp_path / "config_b.toml"
+    cfg_b_path.write_text(
+        (tmp_path / "config.toml")
+        .read_text()
+        .replace("spatial_parallel = 2", "spatial_parallel = 4")
+    )
+    cfg_b = load_config(cfg_b_path)
+    models_b = Models(cfg_b)
+    mesh_b = make_mesh(2, 4)
+    template_b = replicate(
+        mesh_b, init_train_state(cfg_b, models_b, jax.random.key(9))
+    )
+    restored_b, start = restore_checkpoint(_checkpoint_manager(cfg_b), template_b)
+    assert start == 1
+    for a, t, orig in zip(
+        jax.tree.leaves(restored_b),
+        jax.tree.leaves(template_b),
+        jax.tree.leaves(state),
+        strict=True,
+    ):
+        assert a.sharding.is_equivalent_to(t.sharding, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(orig))
+
+    # third topology: one device, no mesh (sp=1 — different apply-time
+    # head-conv formulation, same param tree)
+    cfg_c_path = tmp_path / "config_c.toml"
+    cfg_c_path.write_text(
+        (tmp_path / "config.toml")
+        .read_text()
+        .replace("\n[tpu]\nspatial_parallel = 2\n", "")
+    )
+    cfg_c = load_config(cfg_c_path)
+    models_c = Models(cfg_c)
+    template_c = init_train_state(cfg_c, models_c, jax.random.key(11))
+    restored_c, start_c = restore_checkpoint(_checkpoint_manager(cfg_c), template_c)
+    assert start_c == 1
+    for a, orig in zip(
+        jax.tree.leaves(restored_c), jax.tree.leaves(state), strict=True
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(orig))
+
+    # continuing under each topology computes the same step (same
+    # tolerances as the mesh-equality tests, tests/test_parallel.py)
+    fixed = [raw() for _ in range(4)]
+    rng2 = jax.random.key(2)
+    _, m_a = step_a(
+        state, Batches(*(shard_batch(mesh_a, b) for b in fixed)), rng2
+    )
+    step_b = jax.jit(make_train_step(cfg_b, models_b, mesh_b))
+    _, m_b = step_b(
+        restored_b, Batches(*(shard_batch(mesh_b, b) for b in fixed)), rng2
+    )
+    step_c = jax.jit(make_train_step(cfg_c, models_c))
+    import jax.numpy as jnp
+
+    _, m_c = step_c(restored_c, Batches(*map(jnp.asarray, fixed)), rng2)
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged resuming on the 2x4 mesh",
+        )
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_c[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged resuming on one device",
+        )
+
+
 def test_single_device_restore_keeps_placement(tmp_path):
     """No mesh: restore still round-trips values and placement."""
     config = load_config(write_tiny_config(tmp_path, batch_size=2))

@@ -117,6 +117,37 @@ def test_resume_continues_not_restarts(run):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_fast_forwards_data_stream(run):
+    """A resumed Trainer continues the training data stream where an
+    uninterrupted run would be, instead of replaying epoch 0 (the
+    reference's infinite_run.sh restarts data from scratch)."""
+    config, _, _, _ = run
+    from one_to_many_gan_tpu.data import BatchIterator
+
+    prints = synthetic_images(8, (32, 32), seed=0)
+    marks = synthetic_images(8, (32, 32), seed=1)
+    trainer2 = Trainer(
+        config, shoeprint_images=prints, shoemark_images=marks, verbose=False
+    )
+    assert trainer2.start_step == config["training"]["training_steps"]
+    # An uninterrupted run consumed 2 batches per domain per step
+    # (Trainer._next_batches_np); replay that consumption on fresh
+    # iterators built with the Trainer's stream parameters.
+    seed = config["training"]["random_seed"]
+    batch = config["training"]["batch_size"]
+    for it, images, offset in (
+        (trainer2.shoeprint_iter, prints, 1),
+        (trainer2.shoemark_iter, marks, 2),
+    ):
+        ref = BatchIterator(
+            images, batch, shuffle=True, flip_prob=0.5, seed=seed + offset,
+            as_float=False,
+        )
+        for _ in range(2 * trainer2.start_step):
+            next(ref)
+        np.testing.assert_array_equal(next(ref), next(it))
+
+
 def _poison_summary(trainer):
     orig = trainer.logger.summary
 
