@@ -44,6 +44,35 @@ class Batches(NamedTuple):
     g_shoemarks: jax.Array
 
 
+def batch_pack(xs, axis: int = 0):
+    """Concatenate along the batch axis in SHARD-LOCAL order.
+
+    ``jnp.concatenate(xs, 0)`` places each input's full global batch
+    contiguously, so under data sharding every chip's output shard draws
+    from other chips' input shards and the SPMD partitioner moves whole
+    activations over ICI (measured 7.8 GB/chip/step of collective-permute
+    at the 256² dp=8 point — scripts/collective_budget.py). Stacking on a
+    new axis MINOR to batch and merging instead puts row ``k*len(xs)+j``
+    = input j's sample k: every chip's output shard is exactly its own
+    input rows, a local reshape with zero communication. The batched
+    networks (decoder/discriminator/extractor) are strictly per-sample,
+    so batch order is mathematically invisible; ``batch_unpack`` restores
+    the original tensors exactly (same rows, same order — only the fused
+    pass's internal layout changes, plus reassociation of any reduction
+    computed on the packed tensor, e.g. the KL batch statistics).
+    """
+    stacked = jnp.stack(xs, axis=axis + 1)
+    return stacked.reshape(
+        (*stacked.shape[:axis], -1, *stacked.shape[axis + 2 :])
+    )
+
+
+def batch_unpack(x, n: int, axis: int = 0):
+    """Inverse of ``batch_pack``: split ``n`` interleaved groups back out."""
+    r = x.reshape((*x.shape[:axis], -1, n, *x.shape[axis + 1 :]))
+    return tuple(jnp.take(r, j, axis=axis + 1) for j in range(n))
+
+
 def make_phase_fns(config: Config, models: Models, mesh=None):
     """Build the two optimizer updates as separate pure functions.
 
@@ -179,14 +208,16 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
         )
 
         def d_loss_fn(params_d):
-            # One batched D pass over [fake; real]: the discriminator has no
-            # cross-batch ops (per-sample IN, convs), so scoring the
-            # concatenation is per-sample identical to two passes
-            # (training.py:107-108) while doubling the MXU batch.
+            # One batched D pass over the interleaved [fake; real] batch:
+            # the discriminator has no cross-batch ops (per-sample IN,
+            # convs), so scoring the packed batch is per-sample identical
+            # to two passes (training.py:107-108) while doubling the MXU
+            # batch; shard-local packing keeps it communication-free
+            # under data sharding (batch_pack docstring).
             scores = disc_apply_d(
-                params_d, jnp.concatenate([aug_fake, aug_real], axis=0)
+                params_d, batch_pack([aug_fake, aug_real])
             ).astype(jnp.float32)
-            fake_scores, real_scores = jnp.split(scores, 2, axis=0)
+            fake_scores, real_scores = batch_unpack(scores, 2)
             loss = losses.lsgan_d_loss(real_scores, fake_scores)
             return loss, (real_scores, fake_scores)
 
@@ -253,9 +284,7 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
         d2 = jnp.clip(theta - fin_diff_h / 2.0, 0.0, 1.0)
 
         def encode_latents(params_g):
-            combined = jnp.concatenate(
-                [batches.g_shoeprints, batches.g_shoemarks], axis=0
-            )
+            combined = batch_pack([batches.g_shoeprints, batches.g_shoemarks])
             latents = gen_encode(params_g, combined)
             kl = losses.kl_loss(latents)
             if add_latent_noise:
@@ -264,7 +293,7 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
                 latents = latents + jax.random.normal(
                     keys[6], latents.shape, latents.dtype
                 )
-            print_latent, mark_latent = jnp.split(latents, 2, axis=0)
+            print_latent, mark_latent = batch_unpack(latents, 2)
             return print_latent, mark_latent, kl
 
         def main_terms(print_latent, mark_latent, kl, params_g, params_m, params_s):
@@ -280,12 +309,10 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             mark_w_stack = jnp.broadcast_to(mark_w[None], (n_blocks, *mark_w.shape))
             w_t = sample_w(params_m, keys[7], batch, 1.0)
 
-            lat3 = jnp.concatenate(
-                [print_latent, mark_latent, print_latent], axis=0
-            )
-            w3 = jnp.concatenate([w0, mark_w_stack, w_t], axis=1)
+            lat3 = batch_pack([print_latent, mark_latent, print_latent])
+            w3 = batch_pack([w0, mark_w_stack, w_t], axis=1)
             out3 = gen_decode(params_g, lat3, w3)
-            recon, idt, generated = jnp.split(out3, 3, axis=0)
+            recon, idt, generated = batch_unpack(out3, 3)
 
             rec_loss = losses.l1_loss(
                 recon.astype(jnp.float32), batches.g_shoeprints
@@ -331,11 +358,12 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             w_path = sample_w(params_m, keys[9], batch, 1.0)
             w1 = apply_domain(w_path, d1)
             w2 = apply_domain(w_path, d2)
-            lat2 = jnp.concatenate([print_latent, print_latent], axis=0)
-            w12 = jnp.concatenate([w1, w2], axis=1)
+            lat2 = batch_pack([print_latent, print_latent])
+            w12 = batch_pack([w1, w2], axis=1)
             f12 = gen_extract(params_g, lat2, w12)
-            f1 = [f[:batch] for f in f12]
-            f2 = [f[batch:] for f in f12]
+            legs = [batch_unpack(f, 2) for f in f12]
+            f1 = [a for a, _ in legs]
+            f2 = [b for _, b in legs]
             path = losses.path_loss(f1, f2, fin_diff_h)
             return opt_cfg["path_loss_lambda"] * path, path
 

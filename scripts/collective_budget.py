@@ -151,7 +151,12 @@ def budget(label: str, config, programs, mesh, step_ms: float | None):
     rows: dict[str, list[float]] = {}
     for name, fn, args in programs:
         compiled = jax.jit(fn).lower(*args).compile()
-        ops = collect_collectives(compiled.as_text(), n)
+        text = compiled.as_text()
+        if os.environ.get("OTM_BUDGET_DUMP"):
+            dump = Path(f"/tmp/budget_{name}.hlo")
+            dump.write_text(text)
+            print(f"  [dumped HLO to {dump}]")
+        ops = collect_collectives(text, n)
         for op, nbytes, group in ops:
             b = per_chip_bytes(op, nbytes, group)
             rows.setdefault(op, [0, 0.0])
