@@ -60,7 +60,10 @@ def probe(timeout_s: int = 110) -> bool:
         )
     except subprocess.TimeoutExpired:
         return False
-    return out.returncode == 0 and "Tpu" in out.stdout + out.stderr
+    # Device repr varies across jaxlib versions ("TpuDevice", "[TPU v5 lite0]");
+    # match case-insensitively. rc==0 alone would also do (axon init raises on
+    # failure), but keep the string check against silent CPU fallback.
+    return out.returncode == 0 and "tpu" in (out.stdout + out.stderr).lower()
 
 
 def main() -> None:
