@@ -61,6 +61,10 @@ REMAT_D = os.environ.get("OTM_BENCH_REMAT_D", "same")
 # Split the G backward into two accumulated sub-backwards (the 512²
 # memory lever on top of SPLIT; tpu.g_loss_split).
 G_SPLIT = os.environ.get("OTM_BENCH_G_SPLIT", "0") == "1"
+# Lazy path-length regularization interval (tpu.path_interval; 1 =
+# reference-exact every-step path term). Measured throughput amortizes
+# over MEASURE_STEPS, which should be a multiple of the interval.
+PATH_INTERVAL = int(os.environ.get("OTM_BENCH_PATH_INTERVAL", "1"))
 
 
 def _emit_unavailable(detail: str) -> None:
@@ -157,6 +161,7 @@ def _run() -> None:
             "remat_d": REMAT_D,
             "split_phases": SPLIT,
             "g_loss_split": G_SPLIT,
+            "path_interval": PATH_INTERVAL,
             # default ON: the fused VMEM warp kernel is exactness-tested
             # against the XLA path and measured +3% end-to-end (the bench
             # is single-chip; the kernel is gated off under spatial

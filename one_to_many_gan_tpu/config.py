@@ -114,6 +114,16 @@ class TpuConfig(TypedDict):
     # memory lever that unlocks batch >4 at 512² on a 16GB chip, on top
     # of split_phases.
     g_loss_split: bool
+    # Lazy path-length regularization: run the θ-path term (the 2B decoder
+    # extract, reference src/core/training.py:212-234 — the single most
+    # expensive G loss leg, ~16% of the step at 256²) only every
+    # path_interval steps, with its weight scaled by the interval so the
+    # time-averaged regularization pressure is unchanged — StyleGAN2's own
+    # lazy-regularization trick, the exact pattern this step already uses
+    # for R1 (r1_interval). 1 = every step (reference-exact). Off-interval
+    # steps genuinely skip the extract program (lax.cond) and report
+    # path_loss = 0.
+    path_interval: int
     # Fused steps executed per jitted call (lax.scan inner loop). Amortizes
     # host dispatch overhead; clamped to divide the log/checkpoint
     # intervals so cadences are preserved.
@@ -200,6 +210,7 @@ _TPU_DEFAULTS: TpuConfig = {
     "remat_d": "same",
     "split_phases": False,
     "g_loss_split": False,
+    "path_interval": 1,
     "steps_per_call": 1,
     "resume": True,
     "native_loader": False,
@@ -251,6 +262,10 @@ def _validate(config: dict[str, Any]) -> None:
     remat_d = config["tpu"]["remat_d"]
     if remat_d not in ("same", "none", "conv", "full"):
         msg = f"tpu.remat_d must be same|none|conv|full, got {remat_d!r}"
+        raise ValueError(msg)
+    path_interval = config["tpu"]["path_interval"]
+    if not isinstance(path_interval, int) or path_interval < 1:
+        msg = f"tpu.path_interval must be an int >= 1, got {path_interval!r}"
         raise ValueError(msg)
 
 

@@ -270,6 +270,17 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
         }
 
     g_loss_split = tpu_cfg["g_loss_split"]
+    path_interval = tpu_cfg["path_interval"]
+    # Lazy path-length regularization (StyleGAN2's lazy-regularization
+    # trick, same pattern as R1 above): the path term — a 2B decoder
+    # extract forward+backward every step in the reference
+    # (src/core/training.py:212-234) — runs only every path_interval
+    # steps with λ scaled by the interval, so the time-averaged
+    # regularization pressure is unchanged. Implemented as a separate
+    # accumulated sub-backward (the g_loss_split structure, exact up to
+    # float reassociation) wrapped in lax.cond so off-interval steps
+    # genuinely skip the whole encode+extract program.
+    lazy_path = path_interval > 1
 
     def g_phase(
         state: TrainState, batches: Batches, rng: jax.Array, p_used: jax.Array
@@ -367,7 +378,7 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             path = losses.path_loss(f1, f2, fin_diff_h)
             return opt_cfg["path_loss_lambda"] * path, path
 
-        if g_loss_split:
+        if g_loss_split or lazy_path:
             # tpu.g_loss_split: grads of a sum = sum of grads, so the
             # six-term backward splits into TWO accumulated sub-backwards —
             # {kl,rec,idt,gan,style} (encode + 3B decode + D + extractor)
@@ -375,7 +386,12 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             # live-activation peak is a fraction of the joint backward's,
             # at the price of one extra encoder forward — the 512² memory
             # lever on top of split_phases (VERDICT r3 #4). Exact up to
-            # float reassociation of the gradient sums.
+            # float reassociation of the gradient sums. The same structure
+            # carries lazy path regularization (tpu.path_interval): the
+            # path sub-backward is wrapped in lax.cond so off-interval
+            # steps skip its compute entirely, and on-interval steps scale
+            # the weighted term + grads by the interval (exact: scaling by
+            # the grad seed commutes with autodiff).
             def leg_main(params_g, params_m, params_s):
                 pl, ml, kl = encode_latents(params_g)
                 return main_terms(pl, ml, kl, params_g, params_m, params_s)
@@ -387,9 +403,37 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             (main_total, aux), (g_a, m_a, s_grads) = jax.value_and_grad(
                 leg_main, argnums=(0, 1, 2), has_aux=True
             )(state.params_g, state.params_m, state.params_s)
-            (path_weighted, path_raw), (g_b, m_b) = jax.value_and_grad(
-                leg_path, argnums=(0, 1), has_aux=True
-            )(state.params_g, state.params_m)
+            if lazy_path:
+                scale = float(path_interval)
+
+                def path_on(operand):
+                    pg, pm = operand
+                    (pw, praw), (gb, mb) = jax.value_and_grad(
+                        leg_path, argnums=(0, 1), has_aux=True
+                    )(pg, pm)
+                    gb = jax.tree.map(lambda t: t * scale, gb)
+                    mb = jax.tree.map(lambda t: t * scale, mb)
+                    return pw * scale, praw, gb, mb
+
+                def path_off(operand):
+                    pg, pm = operand
+                    return (
+                        jnp.zeros(()),
+                        jnp.zeros(()),
+                        jax.tree.map(jnp.zeros_like, pg),
+                        jax.tree.map(jnp.zeros_like, pm),
+                    )
+
+                path_weighted, path_raw, g_b, m_b = jax.lax.cond(
+                    (state.step % path_interval) == 0,
+                    path_on,
+                    path_off,
+                    (state.params_g, state.params_m),
+                )
+            else:
+                (path_weighted, path_raw), (g_b, m_b) = jax.value_and_grad(
+                    leg_path, argnums=(0, 1), has_aux=True
+                )(state.params_g, state.params_m)
             g_grads = jax.tree.map(jnp.add, g_a, g_b)
             m_grads = jax.tree.map(jnp.add, m_a, m_b)
             total_g = main_total + path_weighted

@@ -100,7 +100,8 @@ def main() -> None:
     ap.add_argument(
         "--int8",
         action="store_true",
-        help="int8 decoder convs on the MXU (2x bf16 peak on v5e)",
+        help="int8 decoder convs; measured ~1.03x at 256^2 b16 (decode is "
+        "bandwidth-bound there, BASELINE.md) — opt-in for MXU-bound shapes",
     )
     args = ap.parse_args()
     generate(args.config, args.source, args.n, args.out, args.seed, args.theta,

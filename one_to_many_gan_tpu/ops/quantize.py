@@ -3,9 +3,12 @@
 New TPU capability with no reference analogue (the reference serves
 nothing; its closest inference surface is the eval decode,
 src/core/evaluation.py:171-177). The v5e MXU runs int8 x int8 -> int32
-at twice the bf16 peak (394.7 vs 197.4 TOPS), so quantizing the decode's
-convolutions roughly halves serving compute where the conv is
-MXU-bound.
+at twice the bf16 peak (394.7 vs 197.4 TOPS) — that was the motivation,
+but the MEASURED end-to-end speedup on the 256² b16 serving decode is
+only **1.03x** (BASELINE.md round 4): at that shape the decode chain is
+bandwidth/dispatch-bound, not MXU-bound (the 64-channel levels pay lane
+padding). Keep this path as an opt-in for genuinely MXU-bound shapes;
+do not expect 2x at the default serving shapes.
 
 Scheme (symmetric, zero-point-free — the MXU path needs no zero-point
 correction term):

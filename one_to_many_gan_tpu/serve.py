@@ -105,10 +105,14 @@ class InferenceEngine:
             latency drops ~linearly with chips. Every n bucket must be
             divisible by the mesh size (keeps every compiled program
             evenly sharded).
-        int8: quantize the decoder's modulated convs to int8 (2x MXU peak
-            on v5e; ops/quantize.py). Same checkpoints/artifacts — the
-            quantization is apply-time. Output fidelity bound is tested
-            (tests/test_int8.py) and reported by /healthz.
+        int8: quantize the decoder's modulated convs to int8
+            (ops/quantize.py). Measured speedup at the 256² b16 serving
+            shape is **1.03x** (BASELINE.md round 4): the inference
+            decoder there is bandwidth/dispatch-bound, not MXU-bound, so
+            the 2x int8 MXU peak that motivated the path barely shows.
+            Opt-in for MXU-bound shapes. Same checkpoints/artifacts —
+            the quantization is apply-time. Output fidelity bound is
+            tested (tests/test_int8.py) and reported by /healthz.
     """
 
     def __init__(
@@ -319,6 +323,57 @@ class InferenceEngine:
         return [outs[i, : ns[i]] for i in range(b)]
 
 
+class RequestTimeoutError(RuntimeError):
+    """A queued request exceeded its end-to-end deadline (HTTP 503)."""
+
+
+class DeviceHangError(RuntimeError):
+    """A device call exceeded the watchdog deadline (HTTP 503).
+
+    This environment's documented backend failure mode is a HANG, not an
+    exception (CLAUDE.md: axon init/calls can wedge) — without a watchdog
+    one wedged call would turn every subsequent client into a zombie.
+    """
+
+
+def _call_with_watchdog(fn, timeout_s: float, label: str):
+    """Run ``fn()`` under a deadline; raise ``DeviceHangError`` on expiry.
+
+    ``timeout_s <= 0`` disables the watchdog (direct call). Otherwise the
+    call runs in a one-shot daemon worker thread and the caller joins with
+    a timeout: a wedged backend call cannot be cancelled (it sits in C++
+    holding no GIL), so on expiry the worker is ABANDONED — it leaks one
+    daemon thread per hang (bounded by the hang count, exposed in /stats)
+    while the caller survives to fail the request with 503 and serve the
+    next one. If the whole backend is wedged, subsequent calls keep timing
+    out: clients get prompt 503s instead of blocking forever.
+    """
+    if timeout_s <= 0:
+        return fn()
+    box: dict = {}
+    done = threading.Event()
+
+    def worker():
+        try:
+            box["result"] = fn()
+        except Exception as exc:  # noqa: BLE001 — relayed to the caller
+            box["error"] = exc
+        finally:
+            done.set()
+
+    t = threading.Thread(target=worker, name=f"otm-watchdog-{label}", daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        msg = (
+            f"device call '{label}' exceeded the {timeout_s:.0f}s watchdog "
+            "deadline (backend hang?); the call was abandoned"
+        )
+        raise DeviceHangError(msg)
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
 class _Batcher:
     """Coalesce concurrent ``generate`` calls into one device call.
 
@@ -333,10 +388,18 @@ class _Batcher:
 
     ``max_batch=1`` disables coalescing structurally (every group is one
     request); the dispatcher thread still serializes device access.
+
+    Liveness (VERDICT r4 #3): ``device_timeout_s`` bounds each device call
+    with a watchdog (``_call_with_watchdog``) so a wedged backend fails the
+    GROUP with ``DeviceHangError`` (503) while the dispatcher survives;
+    ``request_timeout_s`` bounds each client's total wait in ``submit`` so
+    a request can never block forever even while queued. Either knob <= 0
+    disables that bound. Hang count is exposed via ``snapshot`` (/stats).
     """
 
     def __init__(self, engine: InferenceEngine, max_batch: int = 4,
-                 window_ms: float = 3.0):
+                 window_ms: float = 3.0, device_timeout_s: float = 60.0,
+                 request_timeout_s: float = 120.0):
         self.engine = engine
         if int(max_batch) > engine.batch_buckets[-1]:
             import warnings
@@ -349,6 +412,9 @@ class _Batcher:
             )
         self.max_batch = max(1, min(int(max_batch), engine.batch_buckets[-1]))
         self.window_s = max(0.0, float(window_ms)) / 1e3
+        self.device_timeout_s = float(device_timeout_s)
+        self.request_timeout_s = float(request_timeout_s)
+        self.hangs = 0  # abandoned device calls (watchdog expiries)
         self._cv = threading.Condition()
         self._queue: list[tuple] = []  # (n_bucket, src, n, seed, theta, box)
         self._shutdown = False
@@ -370,7 +436,16 @@ class _Batcher:
                 raise RuntimeError(msg)
             self._queue.append((bucket, src, n, seed, theta, box))
             self._cv.notify_all()
-        box["event"].wait()
+        timeout = self.request_timeout_s if self.request_timeout_s > 0 else None
+        if not box["event"].wait(timeout):
+            # Leave the queued item in place — the dispatcher will set the
+            # abandoned box eventually (harmless); THIS client gets a 503
+            # now instead of blocking forever.
+            msg = (
+                f"request timed out after {self.request_timeout_s:.0f}s "
+                "waiting for the device (queue backlog or backend hang)"
+            )
+            raise RequestTimeoutError(msg)
         if "error" in box:
             raise box["error"]
         return box["result"]
@@ -410,14 +485,24 @@ class _Batcher:
                 ):
                     self._cv.wait(remaining)
                 group = self._take_group()
+            # bind the arg lists NOW: an abandoned watchdog worker must not
+            # read `group` after the loop rebinds it for the next group
+            srcs, ns, seeds, thetas = (
+                [g[1] for g in group],
+                [g[2] for g in group],
+                [g[3] for g in group],
+                [g[4] for g in group],
+            )
             try:
-                outs = self.engine.generate_batch(
-                    [g[1] for g in group],
-                    [g[2] for g in group],
-                    [g[3] for g in group],
-                    [g[4] for g in group],
+                outs = _call_with_watchdog(
+                    lambda srcs=srcs, ns=ns, seeds=seeds, thetas=thetas:
+                        self.engine.generate_batch(srcs, ns, seeds, thetas),
+                    self.device_timeout_s,
+                    "generate_batch",
                 )
             except Exception as exc:  # noqa: BLE001 — fail the group, not the loop
+                if isinstance(exc, DeviceHangError):
+                    self.hangs += 1
                 for *_, box in group:
                     box["error"] = exc
                     box["event"].set()
@@ -435,7 +520,11 @@ class _Batcher:
         self._thread.join(timeout=5)
 
     def snapshot(self) -> dict:
-        return {"device_calls": self.batches, "coalesced_requests": self.coalesced}
+        return {
+            "device_calls": self.batches,
+            "coalesced_requests": self.coalesced,
+            "hangs": self.hangs,
+        }
 
 
 class _Stats:
@@ -468,13 +557,22 @@ class _Stats:
             return out
 
 
-def make_handler(engine: InferenceEngine, stats: _Stats, batcher: _Batcher | None = None):
+def make_handler(engine: InferenceEngine, stats: _Stats,
+                 batcher: _Batcher | None = None,
+                 device_timeout_s: float = 60.0):
     """Build the request-handler class bound to one engine instance."""
 
     def run_generate(src, n, seed, theta):
         if batcher is not None:
             return batcher.submit(src, n, seed, theta)
-        return engine.generate(src, n, seed=seed, theta=theta)
+        # unbatched path: the handler thread calls the device directly —
+        # bound it with the same watchdog so a backend hang is a 503, not
+        # a zombie client connection
+        return _call_with_watchdog(
+            lambda: engine.generate(src, n, seed=seed, theta=theta),
+            device_timeout_s,
+            "generate",
+        )
 
     class Handler(BaseHTTPRequestHandler):
         # quiet the default per-request stderr lines
@@ -552,6 +650,11 @@ def make_handler(engine: InferenceEngine, stats: _Stats, batcher: _Batcher | Non
                 stats.error()
                 self._json(400, {"error": str(exc)})
                 return
+            except (RequestTimeoutError, DeviceHangError) as exc:
+                # overload/hang: the canonical retry-later status
+                stats.error()
+                self._json(503, {"error": f"{type(exc).__name__}: {exc}"})
+                return
             except Exception as exc:  # noqa: BLE001 — surface, don't kill server
                 stats.error()
                 self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
@@ -583,6 +686,8 @@ def make_server(
     port=8000,
     max_batch: int = 4,
     window_ms: float = 3.0,
+    device_timeout_s: float = 60.0,
+    request_timeout_s: float = 120.0,
 ) -> ThreadingHTTPServer:
     """Threaded HTTP server with dynamic request batching.
 
@@ -594,8 +699,17 @@ def make_server(
     so the counters survive the races. The batcher is exposed as
     ``server.batcher`` (close it when tearing the server down in tests).
     """
-    batcher = _Batcher(engine, max_batch, window_ms) if max_batch > 1 else None
-    server = ThreadingHTTPServer((host, port), make_handler(engine, _Stats(), batcher))
+    batcher = (
+        _Batcher(engine, max_batch, window_ms,
+                 device_timeout_s=device_timeout_s,
+                 request_timeout_s=request_timeout_s)
+        if max_batch > 1
+        else None
+    )
+    server = ThreadingHTTPServer(
+        (host, port),
+        make_handler(engine, _Stats(), batcher, device_timeout_s=device_timeout_s),
+    )
     server.batcher = batcher
     return server
 
@@ -627,6 +741,21 @@ def main() -> None:
         "running a partial batch",
     )
     ap.add_argument(
+        "--device-timeout",
+        type=float,
+        default=60.0,
+        help="watchdog deadline (s) on each device call: a wedged backend "
+        "fails the request group with 503 instead of hanging every "
+        "subsequent client (0 disables)",
+    )
+    ap.add_argument(
+        "--request-timeout",
+        type=float,
+        default=120.0,
+        help="end-to-end deadline (s) a queued /generate request may wait "
+        "before it gets 503 (0 disables)",
+    )
+    ap.add_argument(
         "--data-parallel",
         type=int,
         default=1,
@@ -636,8 +765,8 @@ def main() -> None:
     ap.add_argument(
         "--int8",
         action="store_true",
-        help="run the decoder's modulated convs int8 on the MXU (2x bf16 "
-        "peak on v5e); apply-time quantization, same checkpoints",
+        help="int8 decoder convs; measured ~1.03x at 256^2 b16 (decode is "
+        "bandwidth-bound there, BASELINE.md) — opt-in for MXU-bound shapes",
     )
     args = ap.parse_args()
 
@@ -668,6 +797,8 @@ def main() -> None:
         args.port,
         max_batch=args.max_batch,
         window_ms=args.batch_window_ms,
+        device_timeout_s=args.device_timeout,
+        request_timeout_s=args.request_timeout,
     ).serve_forever()
 
 
