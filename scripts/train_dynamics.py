@@ -17,12 +17,18 @@ Writes <out>/dynamics_log.json + the standard run artifacts. Usage:
 remat_d="none") — the measured 512² operating point (BASELINE.md
 round-3 results).
 
+Env knobs: ``OTM_DYN_PATH_INTERVAL`` sets tpu.path_interval (lazy
+path-length regularization; VERDICT r4 #1 asks for dynamics evidence
+that interval=4 trains equivalently to interval=1 at the flagship
+operating point).
+
 At size >= 256 the generator uses the flagship min_latent_resolution=64
 (the tpu_v5e8_512.toml arithmetic) so the 512² evidence run exercises
 the production decoder depth.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -80,6 +86,7 @@ def main() -> None:
             "remat_d": "none" if split else "same",
             "split_phases": split,
             "ada_pallas": True,
+            "path_interval": int(os.environ.get("OTM_DYN_PATH_INTERVAL", "1")),
         },
     )
 
@@ -112,6 +119,9 @@ def main() -> None:
     payload = {
         "steps": steps,
         "size": size,
+        "batch": batch,
+        "split_phases": split,
+        "path_interval": config["tpu"]["path_interval"],
         "wall_s": round(wall, 1),
         "images_per_sec": round(steps * batch / wall, 2),
         "history": history,
