@@ -378,7 +378,52 @@ def make_phase_fns(config: Config, models: Models, mesh=None):
             path = losses.path_loss(f1, f2, fin_diff_h)
             return opt_cfg["path_loss_lambda"] * path, path
 
-        if g_loss_split or lazy_path:
+        if lazy_path and not g_loss_split:
+            # Joint-cond lazy path (the fast structure, measured
+            # BASELINE.md round 5): the WHOLE six-term joint backward sits
+            # in the on-branch with the path weight scaled by the
+            # interval — on-steps run the exact anchor program (encoder
+            # shared between main and path terms, no recomputation), and
+            # off-steps run a main-only joint backward that never builds
+            # the 2B extract at all. The two-sub-backward structure below
+            # (g_loss_split + lazy) pays an extra 2B encode forward on
+            # every on-step; this form doesn't, so it strictly dominates
+            # whenever memory permits the joint backward.
+            scale = float(path_interval)
+
+            def loss_with_path(params_g, params_m, params_s):
+                pl, ml, kl = encode_latents(params_g)
+                total_main, aux = main_terms(
+                    pl, ml, kl, params_g, params_m, params_s
+                )
+                path_weighted, path_raw = path_term(pl, params_g, params_m)
+                return total_main + path_weighted * scale, (aux, path_raw)
+
+            def loss_main_only(params_g, params_m, params_s):
+                pl, ml, kl = encode_latents(params_g)
+                total_main, aux = main_terms(
+                    pl, ml, kl, params_g, params_m, params_s
+                )
+                return total_main, (aux, jnp.zeros(()))
+
+            def _branch(loss_fn):
+                def run(operand):
+                    pg, pm, ps = operand
+                    (total, (aux, praw)), grads = jax.value_and_grad(
+                        loss_fn, argnums=(0, 1, 2), has_aux=True
+                    )(pg, pm, ps)
+                    return total, aux, praw, grads
+
+                return run
+
+            total_g, aux, path_raw, (g_grads, m_grads, s_grads) = jax.lax.cond(
+                (state.step % path_interval) == 0,
+                _branch(loss_with_path),
+                _branch(loss_main_only),
+                (state.params_g, state.params_m, state.params_s),
+            )
+            aux = {**aux, "path_loss": path_raw}
+        elif g_loss_split or lazy_path:
             # tpu.g_loss_split: grads of a sum = sum of grads, so the
             # six-term backward splits into TWO accumulated sub-backwards —
             # {kl,rec,idt,gan,style} (encode + 3B decode + D + extractor)

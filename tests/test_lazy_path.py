@@ -126,6 +126,35 @@ def test_on_interval_matches_split_with_scaled_lambda():
     _params_close(new_l, new_s)
 
 
+def test_on_interval_matches_plain_fused_with_scaled_lambda():
+    """The joint-cond structure (g_loss_split=False): an on-interval step
+    is the EXACT anchor joint backward with λ_path scaled — not the
+    two-sub-backward form (which would re-pay a 2B encode forward)."""
+    batches = _batches()
+    rng = jax.random.key(5)
+    p = jnp.zeros(())
+
+    config_l, models_l, state_l = _setup(path_interval=2, path_lambda=0.1)
+    _, g_lazy = make_phase_fns(config_l, models_l)
+    new_l, m_l = jax.jit(g_lazy)(state_l, batches, rng, p)
+
+    config_p, models_p, state_p = _setup(path_interval=1, path_lambda=0.2)
+    _, g_plain = make_phase_fns(config_p, models_p)
+    new_p, m_p = jax.jit(g_plain)(state_p, batches, rng, p)
+
+    np.testing.assert_allclose(
+        np.asarray(m_l["path_loss"]), np.asarray(m_p["path_loss"]),
+        rtol=1e-6, atol=1e-8,
+    )
+    for k in ("total_gen_loss", "gan_loss", "reconstruction_loss",
+              "identity_loss", "kl_loss", "style_loss"):
+        np.testing.assert_allclose(
+            np.asarray(m_l[k]), np.asarray(m_p[k]), rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )
+    _params_close(new_l, new_p)
+
+
 def test_off_interval_matches_split_with_zero_lambda():
     """Step 1 with interval=2 == g_loss_split with λ_path = 0."""
     batches = _batches()
@@ -162,6 +191,50 @@ def test_cadence_follows_global_step_in_fused_loop():
         state, metrics = step_fn(state, batches, jax.random.fold_in(jax.random.key(7), i))
         fired.append(float(metrics["path_loss"]) != 0.0)
     assert fired == [True, False, False, True]
+
+
+def test_lazy_path_under_mesh_matches_single_device():
+    """The cond'd path sub-backward shards like the straight-line program:
+    metrics on a 4x2 mesh equal the single-device lazy step (on- and
+    off-interval)."""
+    from one_to_many_gan_tpu.parallel import make_mesh, replicate, shard_batch
+
+    rng_np = np.random.default_rng(1)
+    raw = [(rng_np.random((8, 32, 32, 1)) * 2 - 1).astype(np.float32)
+           for _ in range(4)]
+    outs = {}
+    for use_mesh in (False, True):
+        config = tiny_config(
+            (32, 32), 8, min_latent=16, w_dim=6, n_resnet_blocks=3,
+            tpu={"path_interval": 2,
+                 "spatial_parallel": 2 if use_mesh else 1},
+        )
+        models = Models(config)
+        state = init_train_state(config, models, jax.random.key(0))
+        mesh = make_mesh(4, 2) if use_mesh else None
+        if use_mesh:
+            state = replicate(mesh, state)
+            batches = Batches(*(shard_batch(mesh, r) for r in raw))
+        else:
+            batches = Batches(*(jnp.asarray(r) for r in raw))
+        _, g_phase = make_phase_fns(config, models, mesh)
+        jitted = jax.jit(g_phase)
+        per_step = {}
+        for step in (0, 1):  # on- and off-interval
+            st = state.replace(step=jnp.asarray(step, jnp.int32))
+            _, m = jitted(st, batches, jax.random.key(2), jnp.zeros(()))
+            per_step[step] = {k: float(v) for k, v in m.items()}
+        outs[use_mesh] = per_step
+    for step in (0, 1):
+        for k, v in outs[False][step].items():
+            # spatial sharding reassociates the H-axis reductions inside
+            # the loss means (measured ~3e-5 rel on path_loss at 4x2)
+            np.testing.assert_allclose(
+                outs[True][step][k], v, rtol=1e-4, atol=1e-6,
+                err_msg=f"step {step} metric {k}",
+            )
+    assert outs[False][0]["path_loss"] > 0
+    assert outs[False][1]["path_loss"] == 0.0
 
 
 def test_lazy_path_composes_with_g_loss_split():
