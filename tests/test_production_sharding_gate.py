@@ -69,9 +69,12 @@ def _total_mb(inventories) -> float:
 
 
 def test_flagship_256_dp8_fused_only_allreduces_and_buffer_gather():
-    """The headline 256² b16/chip dp=8 fused program (batch_pack step)."""
+    """The headline 256² b16/chip dp=8 fused program (batch_pack step),
+    with the flagship lazy-path interval (bench.py default; BASELINE.md
+    round-5) — the lax.cond compiles BOTH branches, so this single program
+    gates the on- and off-step collective inventories."""
     mesh = make_mesh(8, 1)
-    config = production_config(256, 16, 8, 1)
+    config = production_config(256, 16, 8, 1, path_interval=4)
     inv = _inventories(config, mesh, split=False)
     counts = _counts(inv["fused"])
     assert counts.get("collective-permute", 0) == 0, counts
@@ -90,7 +93,7 @@ def test_flagship_512_dp8_split_only_allreduces_and_buffer_gather():
     """The 512² b4/chip dp=8 split-phase programs (the other dp=8 claim
     stated in the test_step_sharding comment)."""
     mesh = make_mesh(8, 1)
-    config = production_config(512, 4, 8, 1, split_phases=True)
+    config = production_config(512, 4, 8, 1, split_phases=True, path_interval=8)
     inv = _inventories(config, mesh, split=True)
     for name, ops in inv.items():
         counts = _counts(ops)
