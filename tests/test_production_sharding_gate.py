@@ -84,9 +84,14 @@ def test_flagship_256_dp8_fused_only_allreduces_and_buffer_gather():
     assert counts.get("all-gather", 0) <= 2, counts
     # gradient + global-statistic all-reduces must exist
     assert counts.get("all-reduce", 0) >= 1, counts
-    # measured 459 MB/chip/step after the batch_pack fix (BASELINE.md
-    # round 4; 9009 MB before) — ceiling with headroom for XLA drift
-    assert _total_mb(inv) < 700, _total_mb(inv)
+    # Static-HLO byte count. The lazy-path lax.cond compiles BOTH branches
+    # and each carries its own grad all-reduces, so the static sum
+    # double-counts them: measured 890 MB here vs 459 MB for the
+    # interval=1 program (BASELINE.md round 4; 9009 MB before batch_pack).
+    # Per-EXECUTED-step traffic is one branch ≈ the 459 MB level. Ceiling
+    # sits between the cond double-count and the pre-batch_pack failure
+    # mode so a returning batch-axis reshard still trips it.
+    assert _total_mb(inv) < 1200, _total_mb(inv)
 
 
 def test_flagship_512_dp8_split_only_allreduces_and_buffer_gather():
@@ -101,8 +106,12 @@ def test_flagship_512_dp8_split_only_allreduces_and_buffer_gather():
         assert counts.get("all-to-all", 0) == 0, (name, counts)
         assert counts.get("reduce-scatter", 0) == 0, (name, counts)
         assert counts.get("all-gather", 0) <= 2, (name, counts)
-    # measured 1939 MB/chip/step (f32 grad psums dominate; BASELINE.md)
-    assert _total_mb(inv) < 2600, _total_mb(inv)
+    # Static-HLO bytes: measured 3423 MB with the path_interval=8 cond
+    # (both branches' grad all-reduces counted; executed per-step traffic
+    # is one branch — the 1939 MB interval=1 level, f32 grad psums
+    # dominating; BASELINE.md). Ceiling below the pre-batch_pack 8.5 GB
+    # failure mode.
+    assert _total_mb(inv) < 4400, _total_mb(inv)
 
 
 @pytest.mark.slow
