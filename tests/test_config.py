@@ -67,3 +67,21 @@ def test_n_downsamples(tmp_path):
     config = load_config(write_tiny_config(tmp_path))
     # 32x32 image, min latent 16 -> 1
     assert n_downsamples(config) == 1
+
+
+def test_shipped_configs_validate():
+    """Every config shipped under configs/ loads through the validator —
+    catches knob typos at edit time (e.g. the round-5 path_interval
+    additions) rather than at TPU-run time."""
+    shipped = sorted((Path(__file__).parent.parent / "configs").glob("*.toml"))
+    assert shipped, "no shipped configs found"
+    for path in shipped:
+        config = load_config(path)
+        assert config["tpu"]["path_interval"] >= 1, path
+    flagship = load_config(
+        Path(__file__).parent.parent / "configs" / "tpu_v5e8_512.toml"
+    )
+    # the documented 512² operating point (BASELINE.md round-5)
+    assert flagship["tpu"]["path_interval"] == 8
+    assert flagship["tpu"]["split_phases"] is True
+    assert flagship["tpu"]["remat"] == "none"
