@@ -64,12 +64,13 @@ G_SPLIT = os.environ.get("OTM_BENCH_G_SPLIT", "0") == "1"
 # Lazy path-length regularization interval (tpu.path_interval; 1 =
 # reference-exact every-step path term). Measured throughput amortizes
 # over MEASURE_STEPS, which should be a multiple of the interval.
-# Default 4 = the flagship operating point (StyleGAN2's own lazy
-# G-regularization interval): +17.6% over interval=1 (BASELINE.md
-# round-5 rows), with training-equivalence evidence at this exact
-# config — identical-RNG 3k-step interval-4-vs-1 runs in docs/dynamics/.
+# Default 8 = the flagship operating point: +22.2% over interval=1
+# (BASELINE.md round-5 rows; 59.1 vs 48.4 img/s), with training-
+# equivalence evidence at this exact config — identical-RNG 3k-step
+# interval-8-vs-1 AND interval-4-vs-1 runs in docs/dynamics/ (the 512²
+# flagship config ships interval 8 on the same evidence pattern).
 # Set OTM_BENCH_PATH_INTERVAL=1 for the reference-exact every-step math.
-PATH_INTERVAL = int(os.environ.get("OTM_BENCH_PATH_INTERVAL", "4"))
+PATH_INTERVAL = int(os.environ.get("OTM_BENCH_PATH_INTERVAL", "8"))
 
 
 def _emit_unavailable(detail: str) -> None:

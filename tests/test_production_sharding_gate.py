@@ -74,7 +74,9 @@ def test_flagship_256_dp8_fused_only_allreduces_and_buffer_gather():
     round-5) — the lax.cond compiles BOTH branches, so this single program
     gates the on- and off-step collective inventories."""
     mesh = make_mesh(8, 1)
-    config = production_config(256, 16, 8, 1, path_interval=4)
+    # interval=8 = the shipped bench.py default; the cond structure (and
+    # therefore the collective inventory) is identical for any interval>1
+    config = production_config(256, 16, 8, 1, path_interval=8)
     inv = _inventories(config, mesh, split=False)
     counts = _counts(inv["fused"])
     assert counts.get("collective-permute", 0) == 0, counts
